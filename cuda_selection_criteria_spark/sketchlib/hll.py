@@ -1,0 +1,162 @@
+"""HyperLogLog: register fold, Ertl-MLE estimator, pairwise union.
+
+Parity targets (public reference sources):
+- register update: index = hash >> (64-p), rank = clz(((h<<1)|1) << (p-1)) + 1,
+  register = max — /root/reference/sketch/include/sketch/hll.h:886-899
+- input hash: WangHash (hll.h:901-904 ``addh``)
+- estimator: Ertl maximum-likelihood, hll.h:629-688 (Algorithm 8 of
+  Ertl, arXiv:1702.01284) — NOT the original Flajolet estimator.
+- union: elementwise register max then the same estimator
+  (hll.h:1188-1210).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+from .hashes import wanghash64
+
+U64 = np.uint64
+
+HLL_PRIMARY_P = 14  # reference hard-codes p=14 (/root/reference/src/build_sketch.cpp:229)
+
+
+def _bit_length64(x: np.ndarray) -> np.ndarray:
+    """Exact bit_length of u64 array (no float rounding)."""
+    x = x.copy()
+    bl = np.zeros(x.shape, dtype=U64)
+    for s in (32, 16, 8, 4, 2, 1):
+        t = x >> U64(s)
+        m = t != U64(0)
+        bl[m] += U64(s)
+        x[m] = t[m]
+    bl += x  # x is now 0 or 1
+    return bl
+
+
+def hll_ranks(hashes: np.ndarray, p: int) -> tuple[np.ndarray, np.ndarray]:
+    """(register index, rank) for each 64-bit hash value."""
+    h = np.asarray(hashes, dtype=U64)
+    q = 64 - p
+    idx = (h >> U64(q)).astype(np.int64)
+    with np.errstate(over="ignore"):
+        v = ((h << U64(1)) | U64(1)) << U64(p - 1)
+    clz = U64(64) - _bit_length64(v)
+    rank = (clz + U64(1)).astype(np.uint8)
+    return idx, rank
+
+
+def hll_build(elements: np.ndarray, p: int, prehashed: bool = False) -> np.ndarray:
+    """Fold 64-bit elements into a 2^p-register HLL (uint8 registers).
+
+    ``prehashed=False`` applies WangHash first (mirrors hll_t::addh).
+    """
+    regs = np.zeros(1 << p, dtype=np.uint8)
+    el = np.asarray(elements, dtype=U64)
+    if el.size == 0:
+        return regs
+    h = el if prehashed else wanghash64(el)
+    idx, rank = hll_ranks(h, p)
+    np.maximum.at(regs, idx, rank)
+    return regs
+
+
+def sum_counts(regs: np.ndarray) -> np.ndarray:
+    """Histogram of register values, 64 bins (hll.h sum_counts)."""
+    return np.bincount(np.asarray(regs, dtype=np.uint8), minlength=64).astype(np.int64)
+
+
+def ertl_mle(counts: np.ndarray, p: int, q: int | None = None, relerr: float = 1e-2) -> float:
+    """Ertl maximum-likelihood cardinality estimate.
+
+    Direct port of the secant iteration in hll.h:629-688 / Ertl
+    arXiv:1702.01284 Algorithm 8. Scalar (per-sketch); the pipeline
+    batches by calling this over a small candidate set only.
+    """
+    if q is None:
+        q = 64 - p
+    c = counts
+    m = 1 << p
+    if c[q + 1] == m:
+        return math.inf
+
+    k_min = 0
+    while c[k_min] == 0:
+        k_min += 1
+    k_min_prime = max(1, k_min)
+    k_max = q + 1
+    while k_max and c[k_max] == 0:
+        k_max -= 1
+    k_max_prime = min(q, k_max)
+
+    z = 0.0
+    for k in range(k_max_prime, k_min_prime - 1, -1):
+        z = 0.5 * z + float(c[k])
+    z = math.ldexp(z, -k_min_prime)
+
+    c_prime = int(c[q + 1])
+    if q:
+        c_prime += int(c[k_max_prime])
+
+    a = z + float(c[0])
+    m_prime = m - int(c[0])
+    gprev = z + math.ldexp(float(c[q + 1]), -q)
+    if gprev <= 1.5 * a:
+        x = m_prime / (0.5 * gprev + a)
+    else:
+        x = (m_prime / gprev) * math.log1p(gprev / a)
+    gprev = 0.0
+    delta_x = x
+    relerr = relerr / math.sqrt(m)
+    while delta_x > x * relerr:
+        kappa_minus1 = math.frexp(x)[1]
+        x_prime = math.ldexp(x, -max(k_max_prime + 1, kappa_minus1 + 2))
+        x_prime2 = x_prime * x_prime
+        h = x_prime - x_prime2 / 3 + (x_prime2 * x_prime2) * (1.0 / 45.0 - x_prime2 / 472.5)
+        for _k in range(kappa_minus1, k_max_prime - 1, -1):
+            h_prime = 1.0 - h
+            h = (x_prime + h * h_prime) / (x_prime + h_prime)
+            x_prime += x_prime
+        g = c_prime * h
+        for k in range(k_max_prime - 1, k_min_prime - 1, -1):
+            h_prime = 1.0 - h
+            h = (x_prime + h * h_prime) / (x_prime + h_prime)
+            x_prime += x_prime
+            g += float(c[k]) * h
+        g += x * a
+        if gprev < g <= m_prime:
+            delta_x *= (g - m_prime) / (gprev - g)
+        else:
+            delta_x = 0.0
+        x += delta_x
+        gprev = g
+    return x * m
+
+
+def hll_cardinality(regs: np.ndarray, p: int) -> float:
+    """report(): Ertl-MLE over the register histogram (hll.h:834-837)."""
+    return ertl_mle(sum_counts(regs), p)
+
+
+def union_cardinality(regs_a: np.ndarray, regs_b: np.ndarray, p: int) -> float:
+    """union_size(): estimate over elementwise max registers (hll.h:1188-1210)."""
+    return ertl_mle(sum_counts(np.maximum(regs_a, regs_b)), p)
+
+
+def union_cardinality_batch(regs_a: np.ndarray, regs_b: np.ndarray, p: int) -> np.ndarray:
+    """Union cardinalities for a batch of register pairs.
+
+    ``regs_a``, ``regs_b``: uint8 arrays of shape [B, 2^p]. The register
+    max + histogram are fully vectorized; the MLE secant runs per row
+    (cheap: ~64-entry histogram per pair).
+    """
+    mx = np.maximum(regs_a, regs_b)
+    B, m = mx.shape
+    # vectorized per-row histogram: offset each row into its own bin range
+    offsets = (np.arange(B, dtype=np.int64) * 64)[:, None]
+    flat = (mx.astype(np.int64) + offsets).ravel()
+    hist = np.bincount(flat, minlength=B * 64).reshape(B, 64)
+    p_ = int(np.log2(m))
+    return np.array([ertl_mle(hist[i], p_) for i in range(B)], dtype=np.float64)
