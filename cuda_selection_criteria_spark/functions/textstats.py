@@ -1,0 +1,92 @@
+"""Text-analysis operators over the ``documents`` table.
+
+All column math is JVM-side (pyspark.sql.functions — whole-stage
+codegen); no Python UDFs. Aggregates are integer-exact so results are
+bit-comparable with the DuckDB oracle regardless of partitioning /
+summation order (floating sums are order-dependent across engines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def token_count_col(text: Column) -> Column:
+    """Whitespace token count, engine-portable form:
+    length(text) - length(replace(text,' ','')) + 1, 0 for empty."""
+    return F.when(F.length(text) == 0, F.lit(0)).otherwise(
+        F.length(text) - F.length(F.replace(text, F.lit(" "), F.lit(""))) + 1
+    )
+
+
+def exact_dup_groups(documents: DataFrame) -> DataFrame:
+    """Exact duplicate groups by full-text equality (hash groupBy).
+
+    At scale, group on xxhash64(text) first and re-check text equality
+    within groups; at test scale grouping on text directly is identical
+    and keeps the oracle trivially expressible.
+    """
+    return (
+        documents.groupBy("text")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("canonical_id"))
+        .where(F.col("n_docs") > 1)
+        .select("canonical_id", "n_docs")
+    )
+
+
+def token_stats(documents: DataFrame) -> DataFrame:
+    """Per-language corpus statistics (integer-exact)."""
+    toks = token_count_col(F.col("text"))
+    return documents.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(toks).alias("total_tokens"),
+        F.sum(F.length("text")).alias("total_chars"),
+        F.min(F.length("text")).alias("min_chars"),
+        F.max(F.length("text")).alias("max_chars"),
+    )
+
+
+def source_profile(documents: DataFrame) -> DataFrame:
+    """Per-source quality profile (integer-exact)."""
+    return documents.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
+def doc_fingerprints(documents: DataFrame) -> DataFrame:
+    """Deterministic document fingerprint (md5 hex of text)."""
+    return documents.select("doc_id", F.md5(F.col("text")).alias("fp"))
+
+
+_STOPWORDS = ("the", "and", "of", "to", "a", "in", "is", "it", "for", "on")
+
+
+def lang_id_scores(documents: DataFrame) -> DataFrame:
+    """Cheap language-ID / quality heuristic signals per document:
+    stopword hits (English n-gram evidence), token count, mean token
+    length ×100 (integer), uppercase-free flag. Engine-portable
+    expressions only.
+    """
+    text = F.col("text")
+    toks = token_count_col(text)
+    padded = F.concat(F.lit(" "), text, F.lit(" "))
+    stop_hits = None
+    for w in _STOPWORDS:
+        pat = f" {w} "
+        # occurrence count = (len(s) - len(replace(s, pat, ''))) / len(pat)
+        hits = (F.length(padded) - F.length(F.replace(padded, F.lit(pat), F.lit("")))) / F.lit(len(pat))
+        stop_hits = hits if stop_hits is None else stop_hits + hits
+    return documents.select(
+        "doc_id",
+        toks.alias("n_tokens"),
+        stop_hits.cast("long").alias("stopword_hits"),
+        F.when(toks > 0, (F.lit(100) * (F.length(text) - toks + 1) / toks).cast("long"))
+        .otherwise(F.lit(0))
+        .alias("mean_token_len_x100"),
+        (F.length(text) == F.length(F.lower(text))).cast("int").alias("is_lowercase"),
+    )

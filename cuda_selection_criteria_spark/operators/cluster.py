@@ -1,0 +1,82 @@
+"""Connected components: alternating large-star / small-star.
+
+New capability on top of the reference (its output stops at pairs —
+/root/reference/src/selection.cpp:297-300); the north star adds cluster
+assignment. Algorithm: Kiveris et al., "Connected Components in
+MapReduce and Beyond" (SOCC'14) — converges in O(log^2 n) rounds of
+plain DataFrame shuffles, each round localCheckpoint'ed to truncate
+lineage (north_rule checkpoint discipline).
+
+Node ids are longs (url_id surrogates); cluster_id = component minimum.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """For each node u: connect every strictly-larger neighbor to
+    min(N(u) ∪ {u})."""
+    sym = edges.select("a", "b").union(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    mins = sym.groupBy("a").agg(F.min("b").alias("mn"))
+    mins = mins.select("a", F.least("a", "mn").alias("mn"))
+    return (
+        sym.join(mins, "a")
+        .where(F.col("b") > F.col("a"))
+        .select(F.col("b").alias("a"), F.col("mn").alias("b"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Orient edges toward smaller ids; connect all smaller neighbors
+    (and self) to the minimum."""
+    oriented = edges.select(
+        F.greatest("a", "b").alias("a"), F.least("a", "b").alias("b")
+    )
+    mins = oriented.groupBy("a").agg(F.min("b").alias("mn"))
+    return (
+        oriented.join(mins, "a")
+        .select(F.col("b").alias("a"), F.col("mn").alias("b"))
+        .union(mins.select(F.col("a"), F.col("mn").alias("b")))
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+
+
+def connected_components(
+    pairs: DataFrame, a_col: str = "id_a", b_col: str = "id_b", max_iter: int = 20
+) -> DataFrame:
+    """edges (a_col, b_col) -> (node long, cluster_id long).
+
+    cluster_id is the minimum node id of the component. Every node that
+    appears in an edge is assigned (singletons never enter).
+    """
+    edges = pairs.select(F.col(a_col).alias("a"), F.col(b_col).alias("b")).where(
+        F.col("a") != F.col("b")
+    )
+    edges = edges.localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        edges = _large_star(edges)
+        edges = _small_star(edges).localCheckpoint(eager=True)
+        # converged when large-star is a no-op: every node already
+        # points at its component min (star graph). Cheap test: does
+        # any node appear on the left of two distinct parents?
+        not_star = (
+            edges.groupBy("a").agg(F.countDistinct("b").alias("n")).where(F.col("n") > 1).limit(1).count()
+        )
+        if not_star == 0:
+            # also require two-level chains collapsed: parent of parent == parent
+            chain = (
+                edges.alias("x")
+                .join(edges.alias("y"), F.col("x.b") == F.col("y.a"))
+                .limit(1)
+                .count()
+            )
+            if chain == 0:
+                break
+    members = edges.select(F.col("a").alias("node"), F.col("b").alias("cluster_id"))
+    roots = edges.select(F.col("b").alias("node"), F.col("b").alias("cluster_id")).distinct()
+    return members.union(roots).distinct()

@@ -1,0 +1,80 @@
+"""Sketch stage: pages -> per-document sketches, one narrow mapInPandas pass.
+
+Replaces the reference's E1 ``build_sketch`` entry point
+(/root/reference/src/build_sketch.cpp:186-295). Shingling, WangHash,
+HLL fold, SuperMinHash and Ertl-MLE cardinality are FUSED per Arrow
+batch — no shuffle, no per-row Python (all heavy math in the batched
+numpy kernels, sketchlib/batch.py).
+
+Output schema (FIXTURES.md F2):
+  url string, url_id long, card double, card_i long,
+  hll14 binary, smh array<long>
+
+``url_id`` is xxhash64-style surrogate (computed here with the same
+splitmix64 chain the oracle uses so both sides agree); used to keep
+band-explode rows narrow at 10^12-doc scale. ``card_i`` preserves the
+oracle binary's size_t truncation (/root/reference/src/selection.cpp:275).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..oracle import DedupConfig
+from ..sketchlib.batch import cardinalities, hll_batch, superminhash_batch
+from ..sketchlib.hashes import shingle_hashes
+
+SKETCH_SCHEMA = (
+    "url string, url_id long, card double, card_i long, hll14 binary, smh array<long>"
+)
+
+
+def _sketch_batches(cfg: DedupConfig):
+    k, m, p = cfg.shingle_k, cfg.smh_m, cfg.hll_p
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            texts = pdf["text"].fillna("").tolist()
+            sets = [shingle_hashes(t, k) for t in texts]
+            counts = np.array([s.size for s in sets], dtype=np.int64)
+            if counts.sum():
+                items = np.concatenate([s for s in sets if s.size])
+            else:
+                items = np.empty(0, dtype=np.uint64)
+            didx = np.repeat(np.arange(n, dtype=np.int64), counts)
+            regs = hll_batch(items, didx, n, p)
+            sigs = superminhash_batch(items, didx, n, m)
+            cards = cardinalities(regs, p)
+            yield pd.DataFrame(
+                {
+                    "url": pdf["url"].values,
+                    "url_id": pdf["url_id"].values,
+                    "card": cards,
+                    "card_i": cards.astype(np.int64),  # size_t truncation
+                    "hll14": [r.tobytes() for r in regs],
+                    "smh": [s.astype(np.int64) for s in sigs],  # u64 bit-cast
+                }
+            )
+
+    return fn
+
+
+def sketch_pages(pages: DataFrame, cfg: DedupConfig = DedupConfig()) -> DataFrame:
+    """pages(url, text, ...) -> sketches DataFrame.
+
+    Narrow (no shuffle); Catalyst prunes every column except url/text
+    at the scan. url_id = xxhash64(url) (JVM-side, stable).
+    """
+    src = pages.select(
+        "url", F.xxhash64(F.col("url")).alias("url_id"), "text"
+    )
+    return src.mapInPandas(_sketch_batches(cfg), schema=SKETCH_SCHEMA)

@@ -1,0 +1,123 @@
+"""Pure-Python oracle: reference ``selection -c smh_a`` semantics over a
+web-page corpus, plus exact-Jaccard ground truth.
+
+Single-process, no Spark. This encodes the oracle binary's exact
+decision procedure (/root/reference/src/selection.cpp:241-300):
+sort by Ertl-MLE cardinality ascending -> per ordered pair:
+skip e2==0 -> CB else break -> smh_a band collision else continue ->
+p=14 HLL union Jaccard >= tau -> emit. The Spark pipeline must
+reproduce the emitted pair set (recall >= 0.99 per BASELINE.json).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from .sketchlib import (
+    cb_select,
+    hll_build,
+    hll_cardinality,
+    lsh_params,
+    smh_a_select,
+    superminhash,
+    union_cardinality,
+)
+from .sketchlib.hashes import shingle_hashes
+
+
+@dataclass(frozen=True)
+class DedupConfig:
+    tau: float = 0.9
+    shingle_k: int = 31  # bytes, stride 1 (reference k=31 kmers)
+    smh_m: int = 64  # signature length (fixture .smh64 family)
+    hll_p: int = 14  # primary sketch precision (hard-coded in reference)
+
+    @property
+    def bands(self) -> tuple[int, int]:
+        return lsh_params(self.smh_m, self.tau)
+
+
+def doc_sketches(text: str, cfg: DedupConfig) -> tuple[np.ndarray, np.ndarray, float]:
+    """(hll14 registers, smh signature, cardinality) for one document."""
+    sh = shingle_hashes(text, cfg.shingle_k)
+    regs = hll_build(sh, cfg.hll_p)
+    sig = superminhash(sh, cfg.smh_m)
+    card = hll_cardinality(regs, cfg.hll_p)
+    return regs, sig, card
+
+
+def oracle_dup_pairs(
+    docs: list[tuple[str, str]], cfg: DedupConfig = DedupConfig()
+) -> list[tuple[str, str, float]]:
+    """Reference-semantics duplicate pairs over [(url, text)].
+
+    Returns (url_a, url_b, jaccard) in the oracle binary's emit order
+    (outer ascending-cardinality rank).
+    """
+    ents = []
+    for url, text in docs:
+        regs, sig, card = doc_sketches(text, cfg)
+        ents.append((url, card, regs, sig))
+    ents.sort(key=lambda e: (e[1], e[0]))  # stable tie-break by url
+    n_bands, n_rows = cfg.bands
+
+    out: list[tuple[str, str, float]] = []
+    for i in range(len(ents) - 1):
+        url1, c1, r1, s1 = ents[i]
+        e1 = int(c1)  # size_t truncation (selection.cpp:275)
+        for k in range(i + 1, len(ents)):
+            url2, c2, r2, s2 = ents[k]
+            e2 = int(c2)
+            if e2 == 0:
+                continue
+            if not cb_select(cfg.tau, e1, e2):
+                break
+            if not smh_a_select(s1, s2, n_rows, n_bands):
+                continue
+            t = union_cardinality(r1, r2, cfg.hll_p)
+            jacc = (e1 + e2 - t) / t
+            if jacc >= cfg.tau:
+                out.append((url1, url2, jacc))
+    return out
+
+
+def exact_jaccard_pairs(
+    docs: list[tuple[str, str]], cfg: DedupConfig = DedupConfig(), min_jaccard: float = 0.0
+) -> list[tuple[str, str, float]]:
+    """Exact shingle-set Jaccard for every pair (ground truth; O(N^2),
+    test corpora only)."""
+    sets = [(url, shingle_hashes(text, cfg.shingle_k)) for url, text in docs]
+    out = []
+    for i in range(len(sets)):
+        ui, si = sets[i]
+        for j in range(i + 1, len(sets)):
+            uj, sj = sets[j]
+            if si.size == 0 or sj.size == 0:
+                continue
+            inter = np.intersect1d(si, sj).size
+            union = si.size + sj.size - inter
+            jac = inter / union
+            if jac >= min_jaccard:
+                out.append((ui, uj, jac))
+    return out
+
+
+def connected_components(pairs: list[tuple[str, str]]) -> dict[str, str]:
+    """Union-find clusters; representative = min url. Oracle for the
+    Spark large-star/small-star implementation."""
+    parent: dict[str, str] = {}
+
+    def find(x: str) -> str:
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    return {u: find(u) for u in set(parent) | {u for p in pairs for u in p}}

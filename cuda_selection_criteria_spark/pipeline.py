@@ -1,0 +1,73 @@
+"""End-to-end near-duplicate pipeline (pages -> dup_pairs -> clusters).
+
+The Spark re-expression of the reference's two binaries:
+E1 build_sketch (sketch stage) + E2 selection -c smh_a (candidates +
+verify), plus the north star's clustering. See SURVEY.md §3 for the
+job-graph shape and shuffle inventory.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .corpus import pages_to_pandas, generate_pages
+from .oracle import DedupConfig
+from .operators import (
+    candidate_pairs,
+    connected_components,
+    sketch_pages,
+    verify_pairs,
+)
+
+
+@dataclass
+class DedupResult:
+    sketches: DataFrame
+    dup_pairs: DataFrame
+    clusters: DataFrame
+
+
+def dedup_pipeline(
+    pages: DataFrame,
+    cfg: DedupConfig = DedupConfig(),
+    persist_sketches: bool = True,
+    max_band_bucket: int | None = None,
+) -> DedupResult:
+    """pages(url, text, ...) -> sketches, dup_pairs(url_a,url_b,jaccard),
+    clusters(url, cluster_id).
+
+    ``persist_sketches``: the sketches DataFrame feeds both the band
+    join (twice) and the verify joins — cache it so the expensive
+    mapInPandas sketch pass runs once. In a warehouse deployment this
+    is a real table write instead (warehouse.py).
+    """
+    sketches = sketch_pages(pages, cfg)
+    if persist_sketches:
+        sketches = sketches.persist()
+    cands = candidate_pairs(sketches, cfg, max_band_bucket=max_band_bucket)
+    dup_pairs = verify_pairs(cands, sketches, cfg)
+
+    # clusters on url_id surrogate edges, mapped back to urls
+    edges = dup_pairs.select(
+        F.xxhash64("url_a").alias("id_a"), F.xxhash64("url_b").alias("id_b")
+    )
+    comp = connected_components(edges)
+    url_ids = sketches.select("url", "url_id")
+    clusters = (
+        comp.join(url_ids, comp["node"] == url_ids["url_id"])
+        .select("url", "cluster_id")
+    )
+    return DedupResult(sketches=sketches, dup_pairs=dup_pairs, clusters=clusters)
+
+
+def pages_from_corpus(spark: SparkSession, n_rows: int, seed: int = 42, partitions: int | None = None) -> DataFrame:
+    """Deterministic synthetic pages table as a Spark DataFrame."""
+    rows, _ = generate_pages(n_rows, seed)
+    pdf = pages_to_pandas(rows)
+    df = spark.createDataFrame(pdf)
+    if partitions:
+        df = df.repartition(partitions)
+    return df
