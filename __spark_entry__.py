@@ -1,10 +1,11 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship near-duplicate pipeline at sf0.001.
+``queries()`` — one entry per implemented operator (SURVEY.md §2 +
+training-data-pipeline extras); each callable (spark, sf_dir) -> DF.
+``oracle_sql()`` — DuckDB-equivalent ANSI SQL per SQL-expressible query
+(sketch-based ops are rows-only by nature: DuckDB cannot reproduce
+WangHash/Ertl-MLE/SuperMinHash decisions).
 """
 
 from __future__ import annotations
@@ -12,27 +13,208 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cuda_selection_criteria_spark.functions import (
+    doc_fingerprints,
+    embedding_knn,
+    embedding_lsh_candidates,
+    exact_dup_groups,
+    lang_id_scores,
+    ngram_jaccard_pairs,
+    source_profile,
+    token_stats,
+)
+from cuda_selection_criteria_spark.oracle import DedupConfig
+from cuda_selection_criteria_spark.pipeline import dedup_pipeline
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _docs_as_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("url"), "text"
+    )
+
+
+def _dedup_cfg() -> DedupConfig:
+    # documents rows are ~128 chars; k=16 keeps >= 100 shingles/doc
+    # while exercising the exact reference cascade semantics.
+    return DedupConfig(tau=0.9, shingle_k=16, smh_m=64, hll_p=14)
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: near-duplicate pairs over sf0.001 documents."""
+    pages = _docs_as_pages(spark, "/root/testdata/sf0.001")
+    return dedup_pipeline(pages, _dedup_cfg()).dup_pairs
+
+
+# ---------------------------------------------------------------- queries
+
+def _q_dup_pairs_smh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup_pipeline(_docs_as_pages(spark, sf_dir), _dedup_cfg()).dup_pairs
+
+
+def _q_dup_clusters_smh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup_pipeline(_docs_as_pages(spark, sf_dir), _dedup_cfg()).clusters
+
+
+def _q_exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_dup_groups(_docs(spark, sf_dir))
+
+
+def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ngram_jaccard_pairs(_docs(spark, sf_dir), k=5, min_jaccard=0.5)
+
+
+def _q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return token_stats(_docs(spark, sf_dir))
+
+
+def _q_source_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return source_profile(_docs(spark, sf_dir))
+
+
+def _q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return doc_fingerprints(_docs(spark, sf_dir))
+
+
+def _q_lang_id_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return lang_id_scores(_docs(spark, sf_dir))
+
+
+def _q_embedding_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return embedding_knn(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
+
+
+def _q_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return embedding_lsh_candidates(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
+
+
+def _q_events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        ev.groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .select(
+            # TIMESTAMP_NTZ -> TIMESTAMP (session tz is pinned UTC) -> epoch
+            F.col("w.start").cast("timestamp").cast("long").alias("w_start"),
+            "event_type",
+            "n_events",
+            "n_users",
+        )
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "dup_pairs_smh": _q_dup_pairs_smh,
+        "dup_clusters_smh": _q_dup_clusters_smh,
+        "exact_dup_groups": _q_exact_dup_groups,
+        "ngram_jaccard_pairs": _q_ngram_jaccard,
+        "token_stats": _q_token_stats,
+        "source_profile": _q_source_profile,
+        "doc_fingerprints": _q_doc_fingerprints,
+        "lang_id_scores": _q_lang_id_scores,
+        "embedding_knn": _q_embedding_knn,
+        "embedding_lsh_candidates": _q_embedding_lsh,
+        "events_windowed": _q_events_windowed,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    tokens = (
+        "CASE WHEN length(text) = 0 THEN 0 "
+        "ELSE length(text) - length(replace(text, ' ', '')) + 1 END"
+    )
+    stop_words = ("the", "and", "of", "to", "a", "in", "is", "it", "for", "on")
+    stop_expr = " + ".join(
+        f"(length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' {w} ', ''))) / {len(w) + 2}"
+        for w in stop_words
+    )
+    return {
+        "exact_dup_groups": """
+            SELECT min(doc_id) AS canonical_id, count(*) AS n_docs
+            FROM documents GROUP BY text HAVING count(*) > 1
+        """,
+        "ngram_jaccard_pairs": """
+            WITH sh0 AS (
+              SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), 5) AS s
+              FROM documents d, LATERAL unnest(range(1, greatest(length(d.text) - 3, 1))) t(i)
+            ),
+            rare AS (
+              SELECT s FROM sh0 GROUP BY s
+              HAVING count(*) <= CAST(floor((SELECT count(*) FROM documents) * 0.2) AS BIGINT)
+            ),
+            sh AS (SELECT sh0.* FROM sh0 JOIN rare USING (s)),
+            cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+            inter AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter_n
+              FROM sh a JOIN sh b USING (s) WHERE a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            )
+            SELECT doc_a, doc_b, inter_n,
+                   ca.n + cb.n - inter_n AS union_n,
+                   round(CAST(inter_n AS DOUBLE) / (ca.n + cb.n - inter_n), 6) AS jaccard
+            FROM inter
+            JOIN cnt ca ON doc_a = ca.doc_id
+            JOIN cnt cb ON doc_b = cb.doc_id
+            WHERE round(CAST(inter_n AS DOUBLE) / (ca.n + cb.n - inter_n), 6) >= 0.5
+        """,
+        "token_stats": f"""
+            SELECT lang, count(*) AS n_docs,
+                   sum({tokens}) AS total_tokens,
+                   sum(length(text)) AS total_chars,
+                   min(length(text)) AS min_chars,
+                   max(length(text)) AS max_chars
+            FROM documents GROUP BY lang
+        """,
+        "source_profile": """
+            SELECT source, count(*) AS n_docs,
+                   count(DISTINCT lang) AS n_langs,
+                   sum(n_chars) AS sum_chars,
+                   min(n_chars) AS min_chars,
+                   max(n_chars) AS max_chars
+            FROM documents GROUP BY source
+        """,
+        "doc_fingerprints": "SELECT doc_id, md5(text) AS fp FROM documents",
+        "lang_id_scores": f"""
+            SELECT doc_id,
+                   {tokens} AS n_tokens,
+                   CAST(floor({stop_expr}) AS BIGINT) AS stopword_hits,
+                   CASE WHEN {tokens} > 0
+                        THEN CAST(floor(100.0 * (length(text) - ({tokens}) + 1) / ({tokens})) AS BIGINT)
+                        ELSE 0 END AS mean_token_len_x100,
+                   CAST(length(text) = length(lower(text)) AS INT) AS is_lowercase
+            FROM documents
+        """,
+        "embedding_knn": """
+            WITH e AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+              FROM embeddings
+              WHERE list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])) > 0
+            ),
+            p AS (
+              SELECT a.vec_id, b.vec_id AS neighbor_id,
+                     round(list_cosine_similarity(a.v, b.v), 4) AS sim
+              FROM e a, e b WHERE a.vec_id != b.vec_id
+            )
+            SELECT vec_id, neighbor_id, sim FROM (
+              SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, neighbor_id ASC) AS rn
+              FROM p
+            ) WHERE rn = 1
+        """,
+        "events_windowed": """
+            SELECT CAST(epoch(time_bucket(INTERVAL '5 minutes', ts)) AS BIGINT) AS w_start,
+                   event_type, count(*) AS n_events,
+                   count(DISTINCT user_id) AS n_users
+            FROM events GROUP BY 1, 2
+        """,
+        # dup_pairs_smh / dup_clusters_smh / embedding_lsh_candidates:
+        # sketch/hash decisions not expressible in ANSI SQL -> rows-only.
+    }

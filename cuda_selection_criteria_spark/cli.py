@@ -1,0 +1,115 @@
+"""CLI entry points (spark-submit friendly).
+
+Examples
+--------
+Local:
+  python -m cuda_selection_criteria_spark.cli dedup \
+      --input /data/pages.parquet --warehouse /data/wh --tau 0.9 --m 64
+
+Cluster (north_rule launch shape):
+  spark-submit --py-files cuda_selection_criteria_spark.zip \
+      -m cuda_selection_criteria_spark.cli ... (or point spark-submit at
+      this file); all heavy code ships in the zip, no cluster-side pip.
+
+Subcommands mirror the reference binaries: ``sketch`` ~ build_sketch,
+``dedup`` ~ selection + clustering, ``gen-corpus`` builds the
+deterministic synthetic pages table.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+from pyspark.sql import functions as F
+
+
+def _cfg(args):
+    from .oracle import DedupConfig
+
+    return DedupConfig(tau=args.tau, shingle_k=args.shingle_k, smh_m=args.m, hll_p=14)
+
+
+def cmd_gen_corpus(args) -> None:
+    from .pipeline import pages_from_corpus
+    from .session import get_spark
+
+    spark = get_spark(master=args.master)
+    df = pages_from_corpus(spark, args.rows, args.seed, partitions=args.partitions)
+    df.write.mode("overwrite").parquet(args.output)
+    print(json.dumps({"rows": df.count(), "output": args.output}))
+
+
+def cmd_sketch(args) -> None:
+    from .session import get_spark
+    from .warehouse import Warehouse, sketch_with_resume
+
+    spark = get_spark(master=args.master)
+    wh = Warehouse(spark, args.warehouse)
+    pages = spark.read.parquet(args.input)
+    t0 = time.time()
+    sk = sketch_with_resume(wh, pages, _cfg(args), n_parts=args.parts)
+    print(json.dumps({"sketches": sk.count(), "wall_s": round(time.time() - t0, 2)}))
+
+
+def cmd_dedup(args) -> None:
+    from .pipeline import dedup_pipeline
+    from .session import get_spark
+    from .warehouse import Warehouse
+
+    spark = get_spark(master=args.master)
+    pages = spark.read.parquet(args.input)
+    t0 = time.time()
+    res = dedup_pipeline(pages, _cfg(args), max_band_bucket=args.max_band_bucket)
+    wh = Warehouse(spark, args.warehouse)
+    wh.write("dup_pairs", res.dup_pairs)
+    wh.write("clusters", res.clusters)
+    wall = time.time() - t0
+    n_pages = pages.count()
+    n_pairs = wh.read("dup_pairs").count()
+    n_cluster_rows = wh.read("clusters").count()
+    wh.log_metric("cli", "dedup_e2e", wall, n_pages, n_pairs, spark.sparkContext.defaultParallelism)
+    print(
+        json.dumps(
+            {
+                "pages": n_pages,
+                "dup_pairs": n_pairs,
+                "cluster_rows": n_cluster_rows,
+                "wall_s": round(wall, 2),
+                "docs_per_sec": round(n_pages / wall, 1),
+            }
+        )
+    )
+
+
+def main(argv=None) -> None:
+    p = argparse.ArgumentParser(prog="cuda_selection_criteria_spark")
+    p.add_argument("--master", default=None)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    g = sub.add_parser("gen-corpus")
+    g.add_argument("--rows", type=int, default=2000)
+    g.add_argument("--seed", type=int, default=42)
+    g.add_argument("--partitions", type=int, default=None)
+    g.add_argument("--output", required=True)
+    g.set_defaults(fn=cmd_gen_corpus)
+
+    for name, fn in (("sketch", cmd_sketch), ("dedup", cmd_dedup)):
+        s = sub.add_parser(name)
+        s.add_argument("--input", required=True)
+        s.add_argument("--warehouse", required=True)
+        s.add_argument("--tau", type=float, default=0.9)
+        s.add_argument("--shingle-k", type=int, default=31)
+        s.add_argument("--m", type=int, default=64)
+        s.add_argument("--parts", type=int, default=32)
+        s.add_argument("--max-band-bucket", type=int, default=None)
+        s.set_defaults(fn=fn)
+
+    args = p.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

@@ -2,11 +2,17 @@
 
 The SQL-checkable sibling of the sketch pipeline: same shingle
 semantics (overlapping, stride 1), exact set intersection via
-explode + equi-join + count instead of sketches. Quadratic in cluster
-size, linear in corpus: only docs sharing at least one shingle pair up,
-so Catalyst's shuffle on the shingle key does the candidate pruning.
+explode + equi-join + count instead of sketches.
 
-Integer counts + round(jaccard, 6) keep it bit-comparable with DuckDB.
+Scale control: shingles occurring in more than ``max_df_frac`` of all
+documents are excluded from BOTH the intersection and the per-document
+set sizes (classic stop-shingle cut). Without it, one boilerplate
+shingle shared by f docs contributes f^2 join rows — the quadratic
+blowup the LSH pipeline exists to avoid. The cap is part of the
+operator's definition and is applied identically in the DuckDB oracle,
+so results stay bit-comparable.
+
+Integer counts + round(jaccard, 6) keep floats engine-portable.
 """
 
 from __future__ import annotations
@@ -16,24 +22,47 @@ from pyspark.sql import functions as F
 
 
 def doc_shingles(documents: DataFrame, k: int) -> DataFrame:
-    """(doc_id, s): the distinct k-char shingle set per document."""
+    """(doc_id, s): the distinct k-char shingle set per document.
+
+    Guard: Spark's sequence(1, 0) generates a DESCENDING range, so
+    short texts must produce an empty array explicitly."""
     return documents.select(
         "doc_id",
         F.explode(
             F.expr(
-                f"transform(sequence(1, greatest(length(text) - {k - 1}, 0)),"
-                f" i -> substring(text, i, {k}))"
+                f"CASE WHEN length(text) >= {k} THEN "
+                f"transform(sequence(1, length(text) - {k - 1}),"
+                f" i -> substring(text, i, {k})) "
+                f"ELSE array() END"
             )
         ).alias("s"),
     ).distinct()
 
 
 def ngram_jaccard_pairs(
-    documents: DataFrame, k: int = 5, min_jaccard: float = 0.5
+    documents: DataFrame,
+    k: int = 5,
+    min_jaccard: float = 0.5,
+    max_df_frac: float | None = 0.2,
 ) -> DataFrame:
-    """(doc_a, doc_b, inter_n, union_n, jaccard) for pairs with exact
-    k-gram Jaccard >= min_jaccard, doc_a < doc_b."""
+    """(doc_a, doc_b, inter_n, union_n, jaccard) for pairs with
+    rare-shingle k-gram Jaccard >= min_jaccard, doc_a < doc_b."""
     sh = doc_shingles(documents, k)
+    if max_df_frac is not None:
+        n_docs = documents.count()  # deterministic scalar
+        cap = int(n_docs * max_df_frac)
+        rare = (
+            sh.groupBy("s")
+            .agg(F.count("*").alias("_df"))
+            .where(F.col("_df") <= cap)
+            .select("s")
+        )
+        sh = sh.join(rare, "s")
+    # the shingle set feeds cnt + both sides of the self-join; without
+    # an explicit materialization the explode+distinct subtree would be
+    # recomputed four times (measured 5x slowdown). At warehouse scale
+    # this is a table write instead.
+    sh = sh.persist()
     cnt = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "s")
     b = sh.select(F.col("doc_id").alias("doc_b"), "s")

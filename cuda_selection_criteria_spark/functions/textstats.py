@@ -81,11 +81,13 @@ def lang_id_scores(documents: DataFrame) -> DataFrame:
         # occurrence count = (len(s) - len(replace(s, pat, ''))) / len(pat)
         hits = (F.length(padded) - F.length(F.replace(padded, F.lit(pat), F.lit("")))) / F.lit(len(pat))
         stop_hits = hits if stop_hits is None else stop_hits + hits
+    # floor() before the integer cast: Spark casts by truncation while
+    # DuckDB casts by rounding — floor makes both engines agree.
     return documents.select(
         "doc_id",
         toks.alias("n_tokens"),
-        stop_hits.cast("long").alias("stopword_hits"),
-        F.when(toks > 0, (F.lit(100) * (F.length(text) - toks + 1) / toks).cast("long"))
+        F.floor(stop_hits).cast("long").alias("stopword_hits"),
+        F.when(toks > 0, F.floor(F.lit(100) * (F.length(text) - toks + 1) / toks).cast("long"))
         .otherwise(F.lit(0))
         .alias("mean_token_len_x100"),
         (F.length(text) == F.length(F.lower(text))).cast("int").alias("is_lowercase"),

@@ -1,0 +1,130 @@
+"""Warehouse: table persistence + per-partition lineage + metrics.
+
+The reference's sketch sidecar files (/root/reference/src/build_sketch.cpp
+writes X.hll next to each input; /root/reference/src/selection.cpp:241-249
+reloads them) become a partitioned ``sketches`` table; "skip files whose
+sketches exist" becomes "skip part_ids recorded complete in lineage".
+
+Iceberg note: when an Iceberg catalog is configured this class can be
+swapped for ``writeTo(...).append()`` / MERGE with identical semantics;
+this container has no Iceberg runtime jar, so the warehouse is plain
+partitioned parquet + a lineage table — same public API either way
+(SURVEY.md §7).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+import uuid
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .oracle import DedupConfig
+from .operators import sketch_pages
+
+LINEAGE_SCHEMA = "run_id string, part_id int, stage string, status string, ts timestamp"
+METRICS_SCHEMA = (
+    "run_id string, stage string, wall_s double, rows_in long, rows_out long,"
+    " docs_per_sec double, parallelism int"
+)
+
+
+@dataclass
+class Warehouse:
+    spark: SparkSession
+    root: str
+
+    def path(self, table: str) -> str:
+        return os.path.join(self.root, table)
+
+    def exists(self, table: str) -> bool:
+        p = self.path(table)
+        return os.path.isdir(p) and any(
+            f.startswith(("part-", "part_id=")) or f == "_SUCCESS" for f in os.listdir(p)
+        )
+
+    def read(self, table: str) -> DataFrame:
+        return self.spark.read.parquet(self.path(table))
+
+    def write(self, table: str, df: DataFrame, mode: str = "overwrite", partition_by: list[str] | None = None) -> None:
+        w = df.write.mode(mode)
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(self.path(table))
+
+    def append_rows(self, table: str, rows: list[tuple], schema: str) -> None:
+        self.spark.createDataFrame(rows, schema=schema).write.mode("append").parquet(
+            self.path(table)
+        )
+
+    # ------------------------------------------------------------ lineage
+
+    def completed_parts(self, stage: str) -> set[int]:
+        if not self.exists("lineage"):
+            return set()
+        rows = (
+            self.read("lineage")
+            .where((F.col("stage") == stage) & (F.col("status") == "done"))
+            .select("part_id")
+            .distinct()
+            .collect()
+        )
+        return {r.part_id for r in rows}
+
+    def mark_parts(self, run_id: str, stage: str, parts: list[int], status: str = "done") -> None:
+        from datetime import datetime, timezone
+
+        now = datetime.now(timezone.utc).replace(tzinfo=None)
+        self.append_rows(
+            "lineage", [(run_id, int(p), stage, status, now) for p in parts], LINEAGE_SCHEMA
+        )
+
+    def log_metric(
+        self, run_id: str, stage: str, wall_s: float, rows_in: int, rows_out: int, parallelism: int
+    ) -> None:
+        dps = rows_in / wall_s if wall_s > 0 else 0.0
+        self.append_rows(
+            "metrics",
+            [(run_id, stage, float(wall_s), int(rows_in), int(rows_out), float(dps), int(parallelism))],
+            METRICS_SCHEMA,
+        )
+
+
+def sketch_with_resume(
+    wh: Warehouse,
+    pages: DataFrame,
+    cfg: DedupConfig = DedupConfig(),
+    n_parts: int = 32,
+    run_id: str | None = None,
+) -> DataFrame:
+    """Materialize the sketches table, skipping parts already complete.
+
+    part_id = pmod(xxhash64(url), n_parts) — a pure function of the row,
+    so re-runs assign identical parts regardless of input layout
+    (checkpoint-resumable per north_rule). Returns the full sketches DF.
+    """
+    run_id = run_id or uuid.uuid4().hex[:12]
+    done = wh.completed_parts("sketch")
+    todo = sorted(set(range(n_parts)) - done)
+    staged = pages.withColumn(
+        "part_id", F.pmod(F.xxhash64("url"), F.lit(n_parts)).cast("int")
+    )
+    if todo:
+        t0 = time.time()
+        missing = staged.where(F.col("part_id").isin(todo))
+        sk = sketch_pages(missing, cfg).withColumn(
+            "part_id", F.pmod(F.xxhash64("url"), F.lit(n_parts)).cast("int")
+        )
+        mode = "append" if wh.exists("sketches") else "overwrite"
+        wh.write("sketches", sk, mode=mode, partition_by=["part_id"])
+        wall = time.time() - t0
+        out_df = wh.read("sketches")
+        n_in = missing.count()
+        wh.mark_parts(run_id, "sketch", todo)
+        wh.log_metric(
+            run_id, "sketch", wall, n_in, n_in, wh.spark.sparkContext.defaultParallelism
+        )
+    return wh.read("sketches")

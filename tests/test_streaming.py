@@ -1,0 +1,58 @@
+"""Structured Streaming operators: windowed rollups and exact dedup."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from cuda_selection_criteria_spark.streaming import (
+    run_available_now,
+    streaming_exact_dedup,
+    windowed_event_counts,
+)
+from cuda_selection_criteria_spark.streaming.windows import read_event_stream
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_windowed_counts_stream_matches_batch(spark):
+    batch = spark.read.parquet(f"{SF}/events.parquet")
+    expect = {
+        (r.w_start, r.event_type): r.n_events
+        for r in windowed_event_counts(batch).collect()
+    }
+    stream = read_event_stream(spark, f"{SF}/events.parquet")
+    assert stream.isStreaming
+    got_df = run_available_now(windowed_event_counts(stream), "win_test")
+    got = {(r.w_start, r.event_type): r.n_events for r in got_df.collect()}
+    assert got == expect
+
+
+def test_streaming_exact_dedup(spark, tmp_path):
+    import pandas as pd
+    from datetime import datetime, timedelta
+
+    base = datetime(2025, 1, 1)
+    pdf = pd.DataFrame(
+        {
+            "url": [f"u{i}" for i in range(6)],
+            "warc_ts": [base + timedelta(minutes=i) for i in range(6)],
+            "text": ["aaa", "bbb", "aaa", "ccc", "bbb", "aaa"],
+        }
+    )
+    src = tmp_path / "pages"
+    spark.createDataFrame(pdf).write.parquet(str(src))
+    stream = spark.readStream.schema("url string, warc_ts timestamp, text string").parquet(str(src))
+    dedup = streaming_exact_dedup(stream)
+    q = (
+        dedup.writeStream.format("memory")
+        .queryName("dedup_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT text, count(*) AS n FROM dedup_test GROUP BY text").collect()
+    counts = {r.text: r.n for r in rows}
+    assert counts == {"aaa": 1, "bbb": 1, "ccc": 1}

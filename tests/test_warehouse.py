@@ -1,0 +1,47 @@
+"""Warehouse lineage + resume semantics (FIXTURES.md F5 gate 5)."""
+
+from __future__ import annotations
+
+from cuda_selection_criteria_spark.oracle import DedupConfig
+from cuda_selection_criteria_spark.pipeline import pages_from_corpus
+from cuda_selection_criteria_spark.warehouse import Warehouse, sketch_with_resume
+
+CFG = DedupConfig()
+
+
+def test_sketch_resume_skips_completed_parts(spark, tmp_path):
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    pages = pages_from_corpus(spark, 120, seed=42)
+
+    sk1 = sketch_with_resume(wh, pages, CFG, n_parts=8, run_id="r1")
+    assert sk1.count() == 120
+    assert wh.completed_parts("sketch") == set(range(8))
+
+    # second run: nothing to do, identical output
+    before = {(r.url, r.card_i) for r in wh.read("sketches").collect()}
+    sk2 = sketch_with_resume(wh, pages, CFG, n_parts=8, run_id="r2")
+    after = {(r.url, r.card_i) for r in sk2.collect()}
+    assert before == after
+    # lineage only recorded the first run's parts
+    lineage = wh.read("lineage").collect()
+    assert {r.run_id for r in lineage} == {"r1"}
+
+
+def test_partial_resume(spark, tmp_path):
+    wh = Warehouse(spark, str(tmp_path / "wh2"))
+    pages = pages_from_corpus(spark, 120, seed=42)
+    # simulate a killed run: only parts 0-3 done
+    full = sketch_with_resume(wh, pages, CFG, n_parts=8, run_id="r1")
+    n_full = full.count()
+    import shutil, os
+
+    # wipe warehouse, re-run marking half done artificially
+    wh2 = Warehouse(spark, str(tmp_path / "wh3"))
+    wh2.mark_parts("dead", "sketch", [0, 1, 2, 3])
+    sk = sketch_with_resume(wh2, pages, CFG, n_parts=8, run_id="r2")
+    # only parts 4-7 materialized (0-3 claimed done by the dead run)
+    parts = {r.part_id for r in sk.select("part_id").distinct().collect()}
+    assert parts == {4, 5, 6, 7}
+    assert sk.count() < n_full
+    # metrics recorded
+    assert wh2.read("metrics").count() == 1
