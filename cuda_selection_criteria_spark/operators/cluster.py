@@ -58,25 +58,21 @@ def connected_components(
         F.col("a") != F.col("b")
     )
     edges = edges.localCheckpoint(eager=True)
+    prev_sig = None
     for _ in range(max_iter):
         edges = _large_star(edges)
         edges = _small_star(edges).localCheckpoint(eager=True)
-        # converged when large-star is a no-op: every node already
-        # points at its component min (star graph). Cheap test: does
-        # any node appear on the left of two distinct parents?
-        not_star = (
-            edges.groupBy("a").agg(F.countDistinct("b").alias("n")).where(F.col("n") > 1).limit(1).count()
-        )
-        if not_star == 0:
-            # also require two-level chains collapsed: parent of parent == parent
-            chain = (
-                edges.alias("x")
-                .join(edges.alias("y"), F.col("x.b") == F.col("y.a"))
-                .limit(1)
-                .count()
-            )
-            if chain == 0:
-                break
+        # convergence: the alternation reaches a fixed point (Kiveris et
+        # al. Thm 1); detect it with ONE cheap aggregate — edge count +
+        # order-free xor-style hash — instead of extra join jobs.
+        sig = edges.agg(
+            F.count("*").alias("n"),
+            F.sum(F.xxhash64("a", "b").cast("decimal(38,0)")).alias("h"),
+        ).collect()[0]
+        cur = (sig["n"], sig["h"])
+        if cur == prev_sig:
+            break
+        prev_sig = cur
     members = edges.select(F.col("a").alias("node"), F.col("b").alias("cluster_id"))
     roots = edges.select(F.col("b").alias("node"), F.col("b").alias("cluster_id")).distinct()
     return members.union(roots).distinct()

@@ -68,13 +68,23 @@ def _sketch_batches(cfg: DedupConfig):
     return fn
 
 
-def sketch_pages(pages: DataFrame, cfg: DedupConfig = DedupConfig()) -> DataFrame:
+def sketch_pages(
+    pages: DataFrame, cfg: DedupConfig = DedupConfig(), min_partitions: int | None = None
+) -> DataFrame:
     """pages(url, text, ...) -> sketches DataFrame.
 
-    Narrow (no shuffle); Catalyst prunes every column except url/text
-    at the scan. url_id = xxhash64(url) (JVM-side, stable).
+    Catalyst prunes every column except url/text at the scan.
+    url_id = xxhash64(url) (JVM-side, stable).
+
+    Normally narrow (no shuffle): a 100 TB table arrives in thousands
+    of splits. But a small/single-file input would serialize the whole
+    sketch pass on one core, so inputs with fewer partitions than the
+    cluster's parallelism are repartitioned first (tiny rows — url +
+    text only).
     """
-    src = pages.select(
-        "url", F.xxhash64(F.col("url")).alias("url_id"), "text"
-    )
+    src = pages.select("url", F.xxhash64(F.col("url")).alias("url_id"), "text")
+    if min_partitions is None:
+        min_partitions = pages.sparkSession.sparkContext.defaultParallelism
+    if src.rdd.getNumPartitions() < min_partitions:
+        src = src.repartition(min_partitions)
     return src.mapInPandas(_sketch_batches(cfg), schema=SKETCH_SCHEMA)

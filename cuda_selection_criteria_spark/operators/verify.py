@@ -32,6 +32,8 @@ def _verify_batches(cfg: DedupConfig):
     m = 1 << p
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..sketchlib.batch import register_histograms
+
         for pdf in batches:
             n = len(pdf)
             if n == 0:
@@ -39,10 +41,7 @@ def _verify_batches(cfg: DedupConfig):
             regs_a = np.frombuffer(b"".join(pdf["hll_a"]), dtype=np.uint8).reshape(n, m)
             regs_b = np.frombuffer(b"".join(pdf["hll_b"]), dtype=np.uint8).reshape(n, m)
             mx = np.maximum(regs_a, regs_b)
-            offsets = (np.arange(n, dtype=np.int64) * 64)[:, None]
-            hist = np.bincount(
-                (mx.astype(np.int64) + offsets).ravel(), minlength=n * 64
-            ).reshape(n, 64)
+            hist = register_histograms(mx)
             t = np.array([ertl_mle(hist[i], p) for i in range(n)])
             e1 = pdf["card_a"].values.astype(np.float64)
             e2 = pdf["card_b"].values.astype(np.float64)

@@ -49,6 +49,10 @@ def dedup_pipeline(
         sketches = sketches.persist()
     cands = candidate_pairs(sketches, cfg, max_band_bucket=max_band_bucket)
     dup_pairs = verify_pairs(cands, sketches, cfg)
+    if persist_sketches:
+        # clustering iterates over the edge set; without this the whole
+        # band-join + verify subtree re-executes per CC round
+        dup_pairs = dup_pairs.persist()
 
     # clusters on url_id surrogate edges, mapped back to urls
     edges = dup_pairs.select(

@@ -125,9 +125,31 @@ def hll_batch(items: np.ndarray, doc_idx: np.ndarray, n_docs: int, p: int) -> np
     return regs
 
 
+def register_histograms(regs: np.ndarray, chunk: int = 256, buf: np.ndarray | None = None) -> np.ndarray:
+    """Per-row 64-bin histograms of register files, chunked with a
+    reused int32 scratch buffer.
+
+    A whole-matrix ``astype(int64)`` would allocate rows*2^p*8 bytes of
+    FRESH memory per call — measured pathologically slow under this
+    host's page-fault throttling (~50s for 655MB). Chunking bounds the
+    scratch to chunk*2^p*4 bytes, faulted once and reused.
+    """
+    n, m = regs.shape
+    hist = np.empty((n, 64), dtype=np.int64)
+    if buf is None:
+        buf = np.empty((min(chunk, n), m), dtype=np.int32)
+    offs = (np.arange(min(chunk, n), dtype=np.int32) * 64)[:, None]
+    for lo in range(0, n, chunk):
+        hi = min(lo + chunk, n)
+        cnk = hi - lo
+        b = buf[:cnk]
+        np.add(regs[lo:hi], offs[:cnk], out=b, casting="unsafe")
+        hist[lo:hi] = np.bincount(b.ravel(), minlength=cnk * 64).reshape(cnk, 64)
+    return hist
+
+
 def cardinalities(regs: np.ndarray, p: int) -> np.ndarray:
     """Ertl-MLE per register file; regs shape [n_docs, 2^p]."""
-    n, m = regs.shape
-    offsets = (np.arange(n, dtype=np.int64) * 64)[:, None]
-    hist = np.bincount((regs.astype(np.int64) + offsets).ravel(), minlength=n * 64).reshape(n, 64)
+    n = regs.shape[0]
+    hist = register_histograms(regs)
     return np.array([ertl_mle(hist[i], p) for i in range(n)], dtype=np.float64)
