@@ -62,7 +62,12 @@ def cmd_dedup(args) -> None:
     spark = get_spark(master=args.master)
     pages = spark.read.parquet(args.input)
     t0 = time.time()
-    res = dedup_pipeline(pages, _cfg(args), max_band_bucket=args.max_band_bucket)
+    res = dedup_pipeline(
+        pages,
+        _cfg(args),
+        max_band_bucket=args.max_band_bucket,
+        bucket_pairing=args.bucket_pairing,
+    )
     wh = Warehouse(spark, args.warehouse)
     wh.write("dup_pairs", res.dup_pairs)
     wh.write("clusters", res.clusters)
@@ -105,6 +110,12 @@ def main(argv=None) -> None:
         s.add_argument("--m", type=int, default=64)
         s.add_argument("--parts", type=int, default=32)
         s.add_argument("--max-band-bucket", type=int, default=None)
+        s.add_argument(
+            "--bucket-pairing",
+            choices=["all", "star"],
+            default="all",
+            help="all = reference-parity pair emission; star = linear-output scale mode",
+        )
         s.set_defaults(fn=fn)
 
     args = p.parse_args(argv)

@@ -32,6 +32,146 @@ from pyspark.sql import functions as F
 from ..oracle import DedupConfig
 
 
+def cb_bucket_pairs(sketches: DataFrame, cfg: DedupConfig) -> DataFrame:
+    """Candidate pairs for the non-LSH criteria (hll_a / hll_an / cb):
+    the Spark-native form of the reference's sorted + prefix-break scan
+    (SURVEY.md §2 O1/O2).
+
+    CB(tau, cA, cB) = cA/cB >= tau (cA <= cB) implies
+    |floor(log_(1/tau) cA) - floor(log_(1/tau) cB)| <= 1, so an
+    equi-join on log-cardinality buckets (right side exploded to
+    {b, b-1}) touches every CB-surviving pair exactly, without a global
+    sort or O(N^2) enumeration. The exact CB predicate re-filters after
+    the join. Carries hll_aux blobs when the criterion needs them.
+    """
+    import math
+
+    inv_log = 1.0 / math.log(1.0 / cfg.tau)
+    has_aux = "hll_aux" in sketches.columns
+    cols = ["url_id", "card_i"] + (["hll_aux"] if has_aux else [])
+    base = (
+        sketches.where(F.col("card_i") > 0)
+        .select(*cols, F.floor(F.log(F.col("card_i").cast("double")) * F.lit(inv_log)).alias("bkt"))
+    )
+    a = base.select(
+        F.col("bkt"),
+        F.col("url_id").alias("id_a"),
+        F.col("card_i").alias("card_a"),
+        *([F.col("hll_aux").alias("aux_a")] if has_aux else []),
+    )
+    b = base.select(
+        F.explode(F.array(F.col("bkt"), F.col("bkt") - 1)).alias("bkt"),
+        F.col("url_id").alias("id_b"),
+        F.col("card_i").alias("card_b"),
+        *([F.col("hll_aux").alias("aux_b")] if has_aux else []),
+    )
+    tau = cfg.tau
+    return (
+        a.join(b, "bkt")
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(
+            F.least("card_a", "card_b").cast("double")
+            / F.greatest("card_a", "card_b").cast("double")
+            >= F.lit(tau)
+        )
+        .drop("bkt")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
+def aux_criterion_filter(pairs: DataFrame, cfg: DedupConfig) -> DataFrame:
+    """hll_a / hll_an pair predicate over joined aux register blobs
+    (criteria_sketch.hpp:52-64), vectorized per Arrow batch."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from ..sketchlib.batch import register_histograms
+    from ..sketchlib.criteria import sigma
+    from ..sketchlib.hll import ertl_mle
+
+    p = cfg.aux_p
+    m = 1 << p
+    tau, z, order_n = cfg.tau, cfg.z_score, cfg.order_n
+    crit = cfg.criterion
+    schema = "id_a long, id_b long, card_a long, card_b long"
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        sigma_p = sigma(p)
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            ra = np.frombuffer(b"".join(pdf["aux_a"]), dtype=np.uint8).reshape(n, m)
+            rb = np.frombuffer(b"".join(pdf["aux_b"]), dtype=np.uint8).reshape(n, m)
+            hist = register_histograms(np.maximum(ra, rb))
+            t_hat = np.array([ertl_mle(hist[i], p) for i in range(n)])
+            ca = np.minimum(pdf["card_a"].values, pdf["card_b"].values).astype(np.float64)
+            cb = np.maximum(pdf["card_a"].values, pdf["card_b"].values).astype(np.float64)
+            gamma = ca / cb
+            if crit == "hll_a":
+                t = np.floor(t_hat)  # size_t truncation (criteria_sketch.hpp:61)
+                t_mas = t / (1.0 + z * sigma_p)
+                keep = ((1.0 + gamma) * cb - t_mas) / t_mas >= tau
+            else:  # hll_an
+                j_hat = (ca + cb - t_hat) / t_hat
+                s = 0.0
+                num = 1.0
+                for _ in range(order_n):
+                    num *= z * sigma_p
+                    s += num
+                minimo = np.minimum(1.0, (1.0 + z * sigma_p) * cb / t_hat)
+                keep = (j_hat + minimo * (1.0 + gamma) * s) >= tau
+            out = pdf.loc[keep, ["id_a", "id_b", "card_a", "card_b"]]
+            if len(out):
+                yield out
+
+    return pairs.mapInPandas(fn, schema=schema)
+
+
+def _star_pairs(
+    sketches: DataFrame, cfg: DedupConfig, max_band_bucket: int | None
+) -> DataFrame:
+    """Star pairing: one window aggregation instead of a self-join.
+
+    Within each (band_id, band) bucket, every member pairs with the
+    bucket's minimum url_id. CB still filters each pair. No join at
+    all — a single shuffle on the band key.
+    """
+    from pyspark.sql import Window
+
+    bands = explode_bands(sketches, cfg)
+    w = Window.partitionBy("band_id", "band")
+    annotated = bands.withColumn(
+        "_min", F.min(F.struct("url_id", "card_i")).over(w)
+    )
+    if max_band_bucket is not None:
+        annotated = annotated.withColumn("_n", F.count("*").over(w)).where(
+            F.col("_n") <= max_band_bucket
+        )
+    tau = cfg.tau
+    return (
+        annotated.where(F.col("url_id") != F.col("_min.url_id"))
+        .select(
+            F.least("url_id", F.col("_min.url_id")).alias("id_a"),
+            F.greatest("url_id", F.col("_min.url_id")).alias("id_b"),
+            F.when(F.col("url_id") < F.col("_min.url_id"), F.col("card_i"))
+            .otherwise(F.col("_min.card_i"))
+            .alias("card_a"),
+            F.when(F.col("url_id") < F.col("_min.url_id"), F.col("_min.card_i"))
+            .otherwise(F.col("card_i"))
+            .alias("card_b"),
+        )
+        .where(
+            F.least("card_a", "card_b").cast("double")
+            / F.greatest("card_a", "card_b").cast("double")
+            >= F.lit(tau)
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
 def explode_bands(sketches: DataFrame, cfg: DedupConfig) -> DataFrame:
     """sketches -> (url_id, card_i, band_id, band) rows, n_bands per doc."""
     n_bands, n_rows = cfg.bands
@@ -48,13 +188,26 @@ def candidate_pairs(
     sketches: DataFrame,
     cfg: DedupConfig = DedupConfig(),
     max_band_bucket: int | None = None,
+    bucket_pairing: str = "all",
 ) -> DataFrame:
     """-> (id_a, id_b, card_a, card_b) candidate pairs, id_a < id_b.
 
+    ``bucket_pairing``:
+      - "all" (default, reference parity): every pair within a band
+        bucket — a bucket of f near-identical template pages emits
+        f(f-1)/2 pairs, exactly like the reference would.
+      - "star": each bucket member pairs only with the bucket minimum —
+        O(f) pairs, same connected components (the clustering output is
+        preserved whenever the bucket min verifies against members,
+        which near-identical template cliques do). This is the
+        10^12-doc mode: candidate volume becomes linear in corpus size
+        instead of quadratic in clique size.
+
     ``max_band_bucket``: if set, band buckets larger than this are
-    dropped (scale escape hatch for adversarial template floods; OFF
-    for reference parity — those pairs are genuine near-duplicates).
+    dropped entirely (last-resort flood guard; OFF for parity).
     """
+    if bucket_pairing == "star":
+        return _star_pairs(sketches, cfg, max_band_bucket)
     bands = explode_bands(sketches, cfg)
     if max_band_bucket is not None:
         sizes = bands.groupBy("band_id", "band").agg(F.count("*").alias("_n"))

@@ -33,10 +33,17 @@ from ..sketchlib.hashes import shingle_hashes
 SKETCH_SCHEMA = (
     "url string, url_id long, card double, card_i long, hll14 binary, smh array<long>"
 )
+SKETCH_SCHEMA_AUX = SKETCH_SCHEMA + ", hll_aux binary"
+
+
+def sketch_schema(cfg: DedupConfig) -> str:
+    return SKETCH_SCHEMA_AUX if cfg.criterion in ("hll_a", "hll_an") else SKETCH_SCHEMA
 
 
 def _sketch_batches(cfg: DedupConfig):
     k, m, p = cfg.shingle_k, cfg.smh_m, cfg.hll_p
+    want_aux = cfg.criterion in ("hll_a", "hll_an")
+    aux_p = cfg.aux_p
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -54,16 +61,18 @@ def _sketch_batches(cfg: DedupConfig):
             regs = hll_batch(items, didx, n, p)
             sigs = superminhash_batch(items, didx, n, m)
             cards = cardinalities(regs, p)
-            yield pd.DataFrame(
-                {
-                    "url": pdf["url"].values,
-                    "url_id": pdf["url_id"].values,
-                    "card": cards,
-                    "card_i": cards.astype(np.int64),  # size_t truncation
-                    "hll14": [r.tobytes() for r in regs],
-                    "smh": [s.astype(np.int64) for s in sigs],  # u64 bit-cast
-                }
-            )
+            out = {
+                "url": pdf["url"].values,
+                "url_id": pdf["url_id"].values,
+                "card": cards,
+                "card_i": cards.astype(np.int64),  # size_t truncation
+                "hll14": [r.tobytes() for r in regs],
+                "smh": [s.astype(np.int64) for s in sigs],  # u64 bit-cast
+            }
+            if want_aux:
+                aux = hll_batch(items, didx, n, aux_p)
+                out["hll_aux"] = [r.tobytes() for r in aux]
+            yield pd.DataFrame(out)
 
     return fn
 
@@ -87,4 +96,4 @@ def sketch_pages(
         min_partitions = pages.sparkSession.sparkContext.defaultParallelism
     if src.rdd.getNumPartitions() < min_partitions:
         src = src.repartition(min_partitions)
-    return src.mapInPandas(_sketch_batches(cfg), schema=SKETCH_SCHEMA)
+    return src.mapInPandas(_sketch_batches(cfg), schema=sketch_schema(cfg))

@@ -33,19 +33,26 @@ class DedupConfig:
     shingle_k: int = 31  # bytes, stride 1 (reference k=31 kmers)
     smh_m: int = 64  # signature length (fixture .smh64 family)
     hll_p: int = 14  # primary sketch precision (hard-coded in reference)
+    criterion: str = "smh_a"  # smh_a | hll_a | hll_an | cb (reference -c flag)
+    aux_p: int = 8  # aux HLL precision (256 B default -> p=8, selection.cpp:80)
+    z_score: float = 1.96  # selection.cpp:76
+    order_n: int = 1  # selection.cpp:77
 
     @property
     def bands(self) -> tuple[int, int]:
         return lsh_params(self.smh_m, self.tau)
 
 
-def doc_sketches(text: str, cfg: DedupConfig) -> tuple[np.ndarray, np.ndarray, float]:
-    """(hll14 registers, smh signature, cardinality) for one document."""
+def doc_sketches(
+    text: str, cfg: DedupConfig
+) -> tuple[np.ndarray, np.ndarray, float, np.ndarray | None]:
+    """(hll14 registers, smh signature, cardinality, aux regs) per doc."""
     sh = shingle_hashes(text, cfg.shingle_k)
     regs = hll_build(sh, cfg.hll_p)
     sig = superminhash(sh, cfg.smh_m)
     card = hll_cardinality(regs, cfg.hll_p)
-    return regs, sig, card
+    aux = hll_build(sh, cfg.aux_p) if cfg.criterion in ("hll_a", "hll_an") else None
+    return regs, sig, card, aux
 
 
 def oracle_dup_pairs(
@@ -54,28 +61,42 @@ def oracle_dup_pairs(
     """Reference-semantics duplicate pairs over [(url, text)].
 
     Returns (url_a, url_b, jaccard) in the oracle binary's emit order
-    (outer ascending-cardinality rank).
+    (outer ascending-cardinality rank), for any of the reference's
+    criteria (selection.cpp -c flag).
     """
+    from .sketchlib import hll_a_select, hll_an_select
+
     ents = []
     for url, text in docs:
-        regs, sig, card = doc_sketches(text, cfg)
-        ents.append((url, card, regs, sig))
+        regs, sig, card, aux = doc_sketches(text, cfg)
+        ents.append((url, card, regs, sig, aux))
     ents.sort(key=lambda e: (e[1], e[0]))  # stable tie-break by url
     n_bands, n_rows = cfg.bands
 
     out: list[tuple[str, str, float]] = []
     for i in range(len(ents) - 1):
-        url1, c1, r1, s1 = ents[i]
+        url1, c1, r1, s1, a1 = ents[i]
         e1 = int(c1)  # size_t truncation (selection.cpp:275)
         for k in range(i + 1, len(ents)):
-            url2, c2, r2, s2 = ents[k]
+            url2, c2, r2, s2, a2 = ents[k]
             e2 = int(c2)
             if e2 == 0:
                 continue
             if not cb_select(cfg.tau, e1, e2):
                 break
-            if not smh_a_select(s1, s2, n_rows, n_bands):
-                continue
+            if cfg.criterion == "smh_a":
+                if not smh_a_select(s1, s2, n_rows, n_bands):
+                    continue
+            elif cfg.criterion == "hll_a":
+                if not hll_a_select(cfg.tau, e1, e2, a1, a2, cfg.aux_p, cfg.z_score):
+                    continue
+            elif cfg.criterion == "hll_an":
+                if not hll_an_select(
+                    cfg.tau, e1, e2, a1, a2, cfg.aux_p, cfg.z_score, cfg.order_n
+                ):
+                    continue
+            elif cfg.criterion != "cb":
+                raise ValueError(f"unknown criterion {cfg.criterion}")
             t = union_cardinality(r1, r2, cfg.hll_p)
             jacc = (e1 + e2 - t) / t
             if jacc >= cfg.tau:

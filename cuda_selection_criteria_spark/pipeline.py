@@ -35,6 +35,7 @@ def dedup_pipeline(
     cfg: DedupConfig = DedupConfig(),
     persist_sketches: bool = True,
     max_band_bucket: int | None = None,
+    bucket_pairing: str = "all",
 ) -> DedupResult:
     """pages(url, text, ...) -> sketches, dup_pairs(url_a,url_b,jaccard),
     clusters(url, cluster_id).
@@ -47,7 +48,16 @@ def dedup_pipeline(
     sketches = sketch_pages(pages, cfg)
     if persist_sketches:
         sketches = sketches.persist()
-    cands = candidate_pairs(sketches, cfg, max_band_bucket=max_band_bucket)
+    if cfg.criterion == "smh_a":
+        cands = candidate_pairs(
+            sketches, cfg, max_band_bucket=max_band_bucket, bucket_pairing=bucket_pairing
+        )
+    else:
+        from .operators.candidates import aux_criterion_filter, cb_bucket_pairs
+
+        cands = cb_bucket_pairs(sketches, cfg)
+        if cfg.criterion in ("hll_a", "hll_an"):
+            cands = aux_criterion_filter(cands, cfg)
     dup_pairs = verify_pairs(cands, sketches, cfg)
     if persist_sketches:
         # clustering iterates over the edge set; without this the whole
