@@ -21,8 +21,13 @@ from cuda_selection_criteria_spark.functions import (
     embedding_lsh_candidates,
     exact_dup_groups,
     lang_id_scores,
+    lang_predict,
+    media_features,
     ngram_jaccard_pairs,
+    quality_scores,
+    simhash_pairs,
     source_profile,
+    synthetic_media,
     token_stats,
 )
 from cuda_selection_criteria_spark.oracle import DedupConfig
@@ -93,6 +98,22 @@ def _q_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_lsh_candidates(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
 
 
+def _q_lang_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return lang_predict(_docs(spark, sf_dir))
+
+
+def _q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return quality_scores(_docs(spark, sf_dir))
+
+
+def _q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash_pairs(_docs(spark, sf_dir), max_hamming=3)
+
+
+def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return media_features(synthetic_media(spark, n_rows=64, seed=42))
+
+
 def _q_events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     return (
@@ -124,6 +145,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_knn": _q_embedding_knn,
         "embedding_lsh_candidates": _q_embedding_lsh,
         "events_windowed": _q_events_windowed,
+        "lang_predict": _q_lang_predict,
+        "quality_scores": _q_quality_scores,
+        "simhash_pairs": _q_simhash_pairs,
+        "media_features": _q_media_features,
     }
 
 
@@ -215,6 +240,51 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT user_id) AS n_users
             FROM events GROUP BY 1, 2
         """,
-        # dup_pairs_smh / dup_clusters_smh / embedding_lsh_candidates:
-        # sketch/hash decisions not expressible in ANSI SQL -> rows-only.
+        "lang_predict": _lang_predict_sql(),
+        "quality_scores": f"""
+            SELECT doc_id,
+                   length(text) AS n_chars_m,
+                   {tokens} AS n_tokens,
+                   CASE WHEN {tokens} > 0
+                        THEN CAST(floor(1000 * CAST(floor({stop_expr}) AS BIGINT) / ({tokens})) AS BIGINT)
+                        ELSE 0 END AS stopword_ratio_x1000,
+                   CASE WHEN length(text) > 0
+                        THEN CAST(floor(1000 * (length(text) - length(replace(text, ' ', ''))) / length(text)) AS BIGINT)
+                        ELSE 0 END AS space_ratio_x1000,
+                   CAST(length(text) >= 50 AND {tokens} >= 10 AS INT) AS passes_length_gate
+            FROM documents
+        """,
+        # dup_pairs_smh / dup_clusters_smh / embedding_lsh_candidates /
+        # simhash_pairs / media_features: sketch/hash decisions not
+        # expressible in ANSI SQL -> rows-only.
     }
+
+
+def _lang_predict_sql() -> str:
+    def hits(words):
+        terms = " + ".join(
+            f"(length(p) - length(replace(p, ' {w} ', ''))) / {len(w) + 2}" for w in words
+        )
+        return f"CAST(floor({terms}) AS BIGINT)"
+
+    banks = {
+        "en": ("the", "and", "of", "to", "is", "in", "that", "it"),
+        "es": ("el", "la", "de", "que", "y", "los", "las", "una"),
+        "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "mit"),
+    }
+    return f"""
+        WITH padded AS (
+          SELECT doc_id, ' ' || lower(text) || ' ' AS p FROM documents
+        ),
+        scores AS (
+          SELECT doc_id, {hits(banks['en'])} AS en, {hits(banks['es'])} AS es,
+                 {hits(banks['de'])} AS de
+          FROM padded
+        )
+        SELECT doc_id,
+               CASE WHEN en >= es AND en >= de AND en > 0 THEN 'en'
+                    WHEN es >= de AND es > 0 THEN 'es'
+                    WHEN de > 0 THEN 'de'
+                    ELSE 'und' END AS lang_pred
+        FROM scores
+    """

@@ -2,9 +2,20 @@
 surface): exact dedup, n-gram Jaccard, text stats, fingerprints,
 language heuristics, embedding similarity search."""
 
-from .textstats import token_count_col, exact_dup_groups, token_stats, source_profile, doc_fingerprints, lang_id_scores
+from .textstats import (
+    token_count_col,
+    exact_dup_groups,
+    token_stats,
+    source_profile,
+    doc_fingerprints,
+    lang_id_scores,
+    lang_predict,
+    quality_scores,
+)
 from .ngram import ngram_jaccard_pairs
 from .similarity import embedding_knn, embedding_lsh_candidates
+from .simhash import simhash_docs, simhash_pairs
+from .multimodal import media_features, media_thumbnails, frame_sample, synthetic_media
 
 __all__ = [
     "token_count_col",
@@ -13,7 +24,15 @@ __all__ = [
     "source_profile",
     "doc_fingerprints",
     "lang_id_scores",
+    "lang_predict",
+    "quality_scores",
     "ngram_jaccard_pairs",
     "embedding_knn",
     "embedding_lsh_candidates",
+    "simhash_docs",
+    "simhash_pairs",
+    "media_features",
+    "media_thumbnails",
+    "frame_sample",
+    "synthetic_media",
 ]

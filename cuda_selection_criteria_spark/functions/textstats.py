@@ -65,6 +65,72 @@ def doc_fingerprints(documents: DataFrame) -> DataFrame:
 
 _STOPWORDS = ("the", "and", "of", "to", "a", "in", "is", "it", "for", "on")
 
+# tiny deterministic stopword banks for the language-ID vote
+_LANG_BANKS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "is", "in", "that", "it"),
+    "es": ("el", "la", "de", "que", "y", "los", "las", "una"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "mit"),
+}
+
+
+def _hits_expr(text_padded, words: tuple[str, ...]):
+    """Sum of whole-word occurrence counts (portable length/replace form)."""
+    total = None
+    for w in words:
+        pat = f" {w} "
+        hits = (
+            F.length(text_padded) - F.length(F.replace(text_padded, F.lit(pat), F.lit("")))
+        ) / F.lit(len(pat))
+        total = hits if total is None else total + hits
+    return total
+
+
+def lang_predict(documents: DataFrame) -> DataFrame:
+    """(doc_id, lang_pred): n-gram/stopword-vote language ID heuristic.
+
+    Engine-portable: per-language whole-word stopword hit counts, argmax
+    with a fixed tie order (en > es > de > und). Cheap, deterministic,
+    entirely JVM-side column math.
+    """
+    text = F.col("text")
+    padded = F.concat(F.lit(" "), F.lower(text), F.lit(" "))
+    en = F.floor(_hits_expr(padded, _LANG_BANKS["en"])).cast("long")
+    es = F.floor(_hits_expr(padded, _LANG_BANKS["es"])).cast("long")
+    de = F.floor(_hits_expr(padded, _LANG_BANKS["de"])).cast("long")
+    pred = (
+        F.when((en >= es) & (en >= de) & (en > 0), F.lit("en"))
+        .when((es >= de) & (es > 0), F.lit("es"))
+        .when(de > 0, F.lit("de"))
+        .otherwise(F.lit("und"))
+    )
+    return documents.select("doc_id", pred.alias("lang_pred"))
+
+
+def quality_scores(documents: DataFrame) -> DataFrame:
+    """(doc_id, + integer-scaled quality signals): the filter battery a
+    training-data pipeline runs before dedup. All signals are integers
+    (x1000 fixed-point where fractional) so the DuckDB oracle matches
+    bit-for-bit regardless of partitioning.
+    """
+    text = F.col("text")
+    length = F.length(text)
+    toks = token_count_col(text)
+    padded = F.concat(F.lit(" "), F.lower(text), F.lit(" "))
+    stop_hits = F.floor(_hits_expr(padded, _STOPWORDS)).cast("long")
+    space_n = length - F.length(F.replace(text, F.lit(" "), F.lit("")))
+    return documents.select(
+        "doc_id",
+        length.alias("n_chars_m"),
+        toks.alias("n_tokens"),
+        F.when(toks > 0, F.floor(F.lit(1000) * stop_hits / toks).cast("long"))
+        .otherwise(F.lit(0))
+        .alias("stopword_ratio_x1000"),
+        F.when(length > 0, F.floor(F.lit(1000) * space_n / length).cast("long"))
+        .otherwise(F.lit(0))
+        .alias("space_ratio_x1000"),
+        ((length >= 50) & (toks >= 10)).cast("int").alias("passes_length_gate"),
+    )
+
 
 def lang_id_scores(documents: DataFrame) -> DataFrame:
     """Cheap language-ID / quality heuristic signals per document:

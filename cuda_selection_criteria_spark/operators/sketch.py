@@ -27,7 +27,12 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..oracle import DedupConfig
-from ..sketchlib.batch import cardinalities, hll_batch, superminhash_batch
+from ..sketchlib.batch import (
+    cardinalities,
+    encode_registers_sparse,
+    hll_batch,
+    superminhash_batch,
+)
 from ..sketchlib.hashes import shingle_hashes
 
 SKETCH_SCHEMA = (
@@ -61,12 +66,16 @@ def _sketch_batches(cfg: DedupConfig):
             regs = hll_batch(items, didx, n, p)
             sigs = superminhash_batch(items, didx, n, m)
             cards = cardinalities(regs, p)
+            if cfg.register_encoding == "sparse":
+                hll_col = encode_registers_sparse(regs)
+            else:
+                hll_col = [r.tobytes() for r in regs]
             out = {
                 "url": pdf["url"].values,
                 "url_id": pdf["url_id"].values,
                 "card": cards,
                 "card_i": cards.astype(np.int64),  # size_t truncation
-                "hll14": [r.tobytes() for r in regs],
+                "hll14": hll_col,
                 "smh": [s.astype(np.int64) for s in sigs],  # u64 bit-cast
             }
             if want_aux:

@@ -32,14 +32,14 @@ def _verify_batches(cfg: DedupConfig):
     m = 1 << p
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from ..sketchlib.batch import register_histograms
+        from ..sketchlib.batch import decode_registers, register_histograms
 
         for pdf in batches:
             n = len(pdf)
             if n == 0:
                 continue
-            regs_a = np.frombuffer(b"".join(pdf["hll_a"]), dtype=np.uint8).reshape(n, m)
-            regs_b = np.frombuffer(b"".join(pdf["hll_b"]), dtype=np.uint8).reshape(n, m)
+            regs_a = decode_registers(list(pdf["hll_a"]), p)
+            regs_b = decode_registers(list(pdf["hll_b"]), p)
             mx = np.maximum(regs_a, regs_b)
             hist = register_histograms(mx)
             t = np.array([ertl_mle(hist[i], p) for i in range(n)])

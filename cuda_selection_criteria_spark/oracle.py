@@ -34,6 +34,7 @@ class DedupConfig:
     smh_m: int = 64  # signature length (fixture .smh64 family)
     hll_p: int = 14  # primary sketch precision (hard-coded in reference)
     criterion: str = "smh_a"  # smh_a | hll_a | hll_an | cb (reference -c flag)
+    register_encoding: str = "sparse"  # sparse (transport-efficient) | dense (16KiB blobs)
     aux_p: int = 8  # aux HLL precision (256 B default -> p=8, selection.cpp:80)
     z_score: float = 1.96  # selection.cpp:76
     order_n: int = 1  # selection.cpp:77

@@ -28,7 +28,7 @@ def get_spark(
     # path). Raising the threshold keeps big buffers on the reused
     # heap. Set before the JVM forks so python workers inherit it; also
     # exported via executorEnv for real clusters.
-    for k, v in (("MALLOC_MMAP_THRESHOLD_", "1073741824"), ("MALLOC_TRIM_THRESHOLD_", "-1")):
+    for k, v in (("MALLOC_MMAP_THRESHOLD_", "1073741824"), ("MALLOC_TRIM_THRESHOLD_", "268435456")):
         os.environ.setdefault(k, v)
 
     master = master or os.environ.get("SPARK_MASTER", "local[*]")
@@ -43,7 +43,7 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.executorEnv.MALLOC_MMAP_THRESHOLD_", "1073741824")
-        .config("spark.executorEnv.MALLOC_TRIM_THRESHOLD_", "-1")
+        .config("spark.executorEnv.MALLOC_TRIM_THRESHOLD_", "268435456")
     )
     if shuffle_partitions is None:
         cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")

@@ -153,3 +153,50 @@ def cardinalities(regs: np.ndarray, p: int) -> np.ndarray:
     n = regs.shape[0]
     hist = register_histograms(regs)
     return np.array([ertl_mle(hist[i], p) for i in range(n)], dtype=np.float64)
+
+
+def encode_registers_sparse(regs: np.ndarray) -> list[bytes]:
+    """Sparse HLL register encoding: u32 nnz + u16 indices + u8 ranks.
+
+    A p=14 register file is 16 KiB dense, but a document with d distinct
+    shingles touches at most d registers — web documents (10^2..10^5
+    shingles) leave most registers zero, so sparse cuts the bytes moved
+    through Arrow/shuffles ~3-10x. Lossless: decode_registers inverts
+    exactly; all estimator decisions are unchanged.
+    """
+    n, m = regs.shape
+    nz_r, nz_c = np.nonzero(regs)
+    ranks = regs[nz_r, nz_c]
+    idx16 = nz_c.astype("<u2")
+    counts = np.bincount(nz_r, minlength=n)
+    offs = np.concatenate([[0], np.cumsum(counts)])
+    out = []
+    for i in range(n):
+        lo, hi = offs[i], offs[i + 1]
+        out.append(
+            np.uint32(hi - lo).tobytes()
+            + idx16[lo:hi].tobytes()
+            + ranks[lo:hi].tobytes()
+        )
+    return out
+
+
+def decode_registers(blobs, p: int) -> np.ndarray:
+    """Inverse of encode_registers_sparse -> dense uint8 [n, 2^p].
+
+    Also accepts dense 2^p-byte blobs (auto-detected by length), so
+    warehouse tables written in dense mode verify identically.
+    """
+    m = 1 << p
+    n = len(blobs)
+    dense = np.zeros((n, m), dtype=np.uint8)
+    for i, b in enumerate(blobs):
+        b = bytes(b)
+        if len(b) == m:  # dense layout
+            dense[i] = np.frombuffer(b, dtype=np.uint8)
+            continue
+        c = int(np.frombuffer(b, "<u4", 1, 0)[0])
+        idx = np.frombuffer(b, "<u2", c, 4)
+        rank = np.frombuffer(b, np.uint8, c, 4 + 2 * c)
+        dense[i, idx] = rank
+    return dense

@@ -24,14 +24,18 @@ HLL_PRIMARY_P = 14  # reference hard-codes p=14 (/root/reference/src/build_sketc
 
 
 def _bit_length64(x: np.ndarray) -> np.ndarray:
-    """Exact bit_length of u64 array (no float rounding)."""
-    x = x.copy()
+    """Exact bit_length of u64 array (no float rounding).
+
+    Branch-free where-chain: boolean fancy indexing (bl[m] += s) costs
+    ~10x more than np.where on multi-million-element arrays (profiled
+    8.4s -> <1s on 7.7M hashes)."""
+    x = np.asarray(x, dtype=U64)
     bl = np.zeros(x.shape, dtype=U64)
     for s in (32, 16, 8, 4, 2, 1):
         t = x >> U64(s)
         m = t != U64(0)
-        bl[m] += U64(s)
-        x[m] = t[m]
+        bl += m * U64(s)
+        x = np.where(m, t, x)
     bl += x  # x is now 0 or 1
     return bl
 
