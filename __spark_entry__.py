@@ -71,7 +71,7 @@ def _q_exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return ngram_jaccard_pairs(_docs(spark, sf_dir), k=5, min_jaccard=0.5)
+    return ngram_jaccard_pairs(_docs(spark, sf_dir), k=5, min_jaccard=0.5, max_df=100)
 
 
 def _q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -174,7 +174,7 @@ def oracle_sql() -> dict[str, str]:
             ),
             rare AS (
               SELECT s FROM sh0 GROUP BY s
-              HAVING count(*) <= CAST(floor((SELECT count(*) FROM documents) * 0.2) AS BIGINT)
+              HAVING count(*) <= 100
             ),
             sh AS (SELECT sh0.* FROM sh0 JOIN rare USING (s)),
             cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),

@@ -4,8 +4,8 @@ The SQL-checkable sibling of the sketch pipeline: same shingle
 semantics (overlapping, stride 1), exact set intersection via
 explode + equi-join + count instead of sketches.
 
-Scale control: shingles occurring in more than ``max_df_frac`` of all
-documents are excluded from BOTH the intersection and the per-document
+Scale control: shingles occurring in more than ``max_df`` documents
+are excluded from BOTH the intersection and the per-document
 set sizes (classic stop-shingle cut). Without it, one boilerplate
 shingle shared by f docs contributes f^2 join rows — the quadratic
 blowup the LSH pipeline exists to avoid. The cap is part of the
@@ -43,14 +43,15 @@ def ngram_jaccard_pairs(
     documents: DataFrame,
     k: int = 5,
     min_jaccard: float = 0.5,
-    max_df_frac: float | None = 0.2,
+    max_df: int | None = 100,
 ) -> DataFrame:
     """(doc_a, doc_b, inter_n, union_n, jaccard) for pairs with
     rare-shingle k-gram Jaccard >= min_jaccard, doc_a < doc_b."""
     sh = doc_shingles(documents, k)
-    if max_df_frac is not None:
-        n_docs = documents.count()  # deterministic scalar
-        cap = int(n_docs * max_df_frac)
+    if max_df is not None:
+        cap = max_df  # ABSOLUTE cap: join fanout per shingle bounded by
+        # max_df^2 regardless of corpus size (a fractional cap would make
+        # the worst-case join quadratic in N again)
         rare = (
             sh.groupBy("s")
             .agg(F.count("*").alias("_df"))

@@ -42,7 +42,7 @@ def test_exact_dup_groups(docs):
 
 
 def test_ngram_jaccard(docs):
-    rows = ngram_jaccard_pairs(docs, k=5, min_jaccard=0.5, max_df_frac=None).collect()
+    rows = ngram_jaccard_pairs(docs, k=5, min_jaccard=0.5, max_df=None).collect()
     pairs = {(r.doc_a, r.doc_b): r.jaccard for r in rows}
     assert pairs[(1, 4)] == 1.0  # exact dup
     assert (1, 2) in pairs and 0.5 <= pairs[(1, 2)] < 1.0
