@@ -95,19 +95,43 @@ def embedding_lsh_candidates(
     doubles). Bucket key = sign-bit pack — the embedding analogue of
     the SMH band join, same skew/scale properties.
     """
+    from collections.abc import Iterator
+
+    import pandas as pd
+
     rng = np.random.default_rng(seed)
     planes = rng.standard_normal((n_tables, n_planes, dim))
+    weights = (2.0 ** np.arange(n_planes - 1, -1, -1))  # MSB-first bit pack
 
-    e = with_norm(embeddings).select("vec_id", "_vec")
-    buckets = None
-    for t in range(n_tables):
-        key = F.lit(0).cast("long")
-        for pl in range(n_planes):
-            arr = F.array(*[F.lit(float(v)) for v in planes[t, pl]])
-            bit = (_dot(F.col("_vec"), arr) > 0).cast("long")
-            key = key * 2 + bit
-        tb = e.select("vec_id", F.lit(t).alias("table_id"), key.alias("bucket"))
-        buckets = tb if buckets is None else buckets.unionByName(tb)
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.array([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+            norms = np.sqrt((V * V).sum(axis=1))
+            ok = norms > 0
+            if not ok.any():
+                continue
+            V = V[ok]
+            ids = pdf["vec_id"].values[ok]
+            out_ids, out_tables, out_buckets = [], [], []
+            for t in range(n_tables):
+                bits = (V @ planes[t].T) > 0  # [n, n_planes]
+                keys = (bits @ weights).astype(np.int64)
+                out_ids.append(ids)
+                out_tables.append(np.full(len(ids), t, dtype=np.int32))
+                out_buckets.append(keys)
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.concatenate(out_ids),
+                    "table_id": np.concatenate(out_tables),
+                    "bucket": np.concatenate(out_buckets),
+                }
+            )
+
+    buckets = embeddings.select("vec_id", "embedding").mapInPandas(
+        fn, schema="vec_id long, table_id int, bucket long"
+    )
     a = buckets.select("table_id", "bucket", F.col("vec_id").alias("id_a"))
     b = buckets.select("table_id", "bucket", F.col("vec_id").alias("id_b"))
     return (
