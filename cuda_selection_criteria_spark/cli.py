@@ -55,19 +55,32 @@ def cmd_sketch(args) -> None:
 
 
 def cmd_dedup(args) -> None:
-    from .pipeline import dedup_pipeline
+    from .pipeline import dedup_from_sketches, dedup_pipeline
     from .session import get_spark
-    from .warehouse import Warehouse
+    from .warehouse import Warehouse, sketch_with_resume
 
     spark = get_spark(master=args.master)
     pages = spark.read.parquet(args.input)
     t0 = time.time()
-    res = dedup_pipeline(
-        pages,
-        _cfg(args),
-        max_band_bucket=args.max_band_bucket,
-        bucket_pairing=args.bucket_pairing,
-    )
+    if args.resume:
+        # checkpoint-resume path: sketches materialize into the
+        # warehouse per part_id; a re-run after a kill skips completed
+        # parts and selection runs from the persisted table
+        wh0 = Warehouse(spark, args.warehouse)
+        sk = sketch_with_resume(wh0, pages, _cfg(args), n_parts=args.parts)
+        res = dedup_from_sketches(
+            sk,
+            _cfg(args),
+            max_band_bucket=args.max_band_bucket,
+            bucket_pairing=args.bucket_pairing,
+        )
+    else:
+        res = dedup_pipeline(
+            pages,
+            _cfg(args),
+            max_band_bucket=args.max_band_bucket,
+            bucket_pairing=args.bucket_pairing,
+        )
     wh = Warehouse(spark, args.warehouse)
     wh.write("dup_pairs", res.dup_pairs)
     wh.write("clusters", res.clusters)
@@ -115,6 +128,11 @@ def main(argv=None) -> None:
             choices=["all", "star"],
             default="all",
             help="all = reference-parity pair emission; star = linear-output scale mode",
+        )
+        s.add_argument(
+            "--resume",
+            action="store_true",
+            help="materialize sketches into the warehouse with per-part lineage; re-runs skip completed parts",
         )
         s.set_defaults(fn=fn)
 

@@ -30,6 +30,42 @@ class DedupResult:
     clusters: DataFrame
 
 
+def dedup_from_sketches(
+    sketches: DataFrame,
+    cfg: DedupConfig = DedupConfig(),
+    max_band_bucket: int | None = None,
+    bucket_pairing: str = "all",
+) -> DedupResult:
+    """Post-sketch stages only: candidates -> verify -> clusters.
+
+    Feed it the warehouse ``sketches`` table for the checkpoint-resume
+    path (north_rule): sketching is the expensive pass; after a resume
+    the selection re-runs from the persisted table without touching
+    pages. E2 of the reference (selection.cpp loads sidecar sketches,
+    never re-reads sequences) — same shape.
+    """
+    if cfg.criterion == "smh_a":
+        cands = candidate_pairs(
+            sketches, cfg, max_band_bucket=max_band_bucket, bucket_pairing=bucket_pairing
+        )
+    else:
+        from .operators.candidates import aux_criterion_filter, cb_bucket_pairs
+
+        cands = cb_bucket_pairs(sketches, cfg)
+        if cfg.criterion in ("hll_a", "hll_an"):
+            cands = aux_criterion_filter(cands, cfg)
+    dup_pairs = verify_pairs(cands, sketches, cfg).localCheckpoint(eager=True)
+    edges = dup_pairs.select(
+        F.xxhash64("url_a").alias("id_a"), F.xxhash64("url_b").alias("id_b")
+    )
+    comp = connected_components(edges)
+    url_ids = sketches.select("url", "url_id")
+    clusters = comp.join(url_ids, comp["node"] == url_ids["url_id"]).select(
+        "url", "cluster_id"
+    )
+    return DedupResult(sketches=sketches, dup_pairs=dup_pairs, clusters=clusters)
+
+
 def dedup_pipeline(
     pages: DataFrame,
     cfg: DedupConfig = DedupConfig(),
@@ -54,33 +90,9 @@ def dedup_pipeline(
         # parallelism. On a real cluster this materialization is the
         # warehouse sketches table instead (warehouse.sketch_with_resume).
         sketches = sketches.localCheckpoint(eager=True)
-    if cfg.criterion == "smh_a":
-        cands = candidate_pairs(
-            sketches, cfg, max_band_bucket=max_band_bucket, bucket_pairing=bucket_pairing
-        )
-    else:
-        from .operators.candidates import aux_criterion_filter, cb_bucket_pairs
-
-        cands = cb_bucket_pairs(sketches, cfg)
-        if cfg.criterion in ("hll_a", "hll_an"):
-            cands = aux_criterion_filter(cands, cfg)
-    dup_pairs = verify_pairs(cands, sketches, cfg)
-    if persist_sketches:
-        # clustering iterates over the edge set; without this the whole
-        # band-join + verify subtree re-executes per CC round
-        dup_pairs = dup_pairs.localCheckpoint(eager=True)
-
-    # clusters on url_id surrogate edges, mapped back to urls
-    edges = dup_pairs.select(
-        F.xxhash64("url_a").alias("id_a"), F.xxhash64("url_b").alias("id_b")
+    return dedup_from_sketches(
+        sketches, cfg, max_band_bucket=max_band_bucket, bucket_pairing=bucket_pairing
     )
-    comp = connected_components(edges)
-    url_ids = sketches.select("url", "url_id")
-    clusters = (
-        comp.join(url_ids, comp["node"] == url_ids["url_id"])
-        .select("url", "cluster_id")
-    )
-    return DedupResult(sketches=sketches, dup_pairs=dup_pairs, clusters=clusters)
 
 
 def pages_from_corpus(spark: SparkSession, n_rows: int, seed: int = 42, partitions: int | None = None) -> DataFrame:
