@@ -26,6 +26,7 @@ from cuda_selection_criteria_spark.functions import (
     ngram_jaccard_pairs,
     quality_scores,
     simhash_pairs,
+    token_counts_bpe,
     source_profile,
     synthetic_media,
     token_stats,
@@ -106,6 +107,10 @@ def _q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_scores(_docs(spark, sf_dir))
 
 
+def _q_token_counts_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return token_counts_bpe(_docs(spark, sf_dir))
+
+
 def _q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_pairs(_docs(spark, sf_dir), max_hamming=3)
 
@@ -147,6 +152,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_windowed": _q_events_windowed,
         "lang_predict": _q_lang_predict,
         "quality_scores": _q_quality_scores,
+        "token_counts_bpe": _q_token_counts_bpe,
         "simhash_pairs": _q_simhash_pairs,
         "media_features": _q_media_features,
     }
@@ -241,6 +247,14 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY 1, 2
         """,
         "lang_predict": _lang_predict_sql(),
+        "token_counts_bpe": f"""
+            SELECT doc_id,
+                   {tokens} AS ws_tokens,
+                   CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS BIGINT) AS bpe_ish_tokens,
+                   CAST(len(regexp_extract_all(text, '[A-Za-z]+')) AS BIGINT) AS alpha_tokens,
+                   CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS digit_tokens
+            FROM documents
+        """,
         "quality_scores": f"""
             SELECT doc_id,
                    length(text) AS n_chars_m,

@@ -11,6 +11,7 @@ from .textstats import (
     lang_id_scores,
     lang_predict,
     quality_scores,
+    token_counts_bpe,
 )
 from .ngram import ngram_jaccard_pairs
 from .similarity import embedding_knn, embedding_lsh_candidates
@@ -26,6 +27,7 @@ __all__ = [
     "lang_id_scores",
     "lang_predict",
     "quality_scores",
+    "token_counts_bpe",
     "ngram_jaccard_pairs",
     "embedding_knn",
     "embedding_lsh_candidates",

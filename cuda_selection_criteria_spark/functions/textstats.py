@@ -85,6 +85,33 @@ def _hits_expr(text_padded, words: tuple[str, ...]):
     return total
 
 
+_BPE_ISH = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+
+def token_counts_bpe(documents: DataFrame) -> DataFrame:
+    """(doc_id, ws_tokens, bpe_ish_tokens, alpha_tokens, digit_tokens).
+
+    The BPE-ish count splits runs of letters, runs of digits, and
+    individual punctuation — the cheap stand-in for subword tokenizer
+    budgeting when sizing a training mix. Pattern is RE2/Java-regex
+    portable so the DuckDB oracle matches exactly.
+    """
+    text = F.col("text")
+    return documents.select(
+        "doc_id",
+        token_count_col(text).alias("ws_tokens"),
+        F.size(F.expr(f"regexp_extract_all(text, '{_BPE_ISH}', 0)")).cast("long").alias(
+            "bpe_ish_tokens"
+        ),
+        F.size(F.expr("regexp_extract_all(text, '[A-Za-z]+', 0)")).cast("long").alias(
+            "alpha_tokens"
+        ),
+        F.size(F.expr("regexp_extract_all(text, '[0-9]+', 0)")).cast("long").alias(
+            "digit_tokens"
+        ),
+    )
+
+
 def lang_predict(documents: DataFrame) -> DataFrame:
     """(doc_id, lang_pred): n-gram/stopword-vote language ID heuristic.
 
