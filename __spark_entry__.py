@@ -31,6 +31,7 @@ from cuda_selection_criteria_spark.functions import (
     synthetic_media,
     token_stats,
 )
+from cuda_selection_criteria_spark.functions.ivf import embedding_ivf_topk
 from cuda_selection_criteria_spark.functions.winnow import winnow_overlap_pairs
 from cuda_selection_criteria_spark.oracle import DedupConfig
 from cuda_selection_criteria_spark.pipeline import dedup_pipeline
@@ -120,6 +121,10 @@ def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media_features(synthetic_media(spark, n_rows=64, seed=42))
 
 
+def _q_embedding_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return embedding_ivf_topk(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
+
+
 def _q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnow_overlap_pairs(_docs(spark, sf_dir), k=16, w=8, min_shared=3)
 
@@ -161,6 +166,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": _q_simhash_pairs,
         "media_features": _q_media_features,
         "winnow_overlap_pairs": _q_winnow_pairs,
+        "embedding_ivf_topk": _q_embedding_ivf,
     }
 
 
