@@ -209,10 +209,12 @@ def oracle_sql() -> dict[str, str]:
             JOIN cnt cb ON doc_b = cb.doc_id
             WHERE round(CAST(inter_n AS DOUBLE) / (ca.n + cb.n - inter_n), 6) >= 0.5
         """,
+        # CAST the sums: DuckDB sum() yields HUGEINT (canonicalized to
+        # float64) while Spark yields bigint — values equal, hash not.
         "token_stats": f"""
             SELECT lang, count(*) AS n_docs,
-                   sum({tokens}) AS total_tokens,
-                   sum(length(text)) AS total_chars,
+                   CAST(sum({tokens}) AS BIGINT) AS total_tokens,
+                   CAST(sum(length(text)) AS BIGINT) AS total_chars,
                    min(length(text)) AS min_chars,
                    max(length(text)) AS max_chars
             FROM documents GROUP BY lang
@@ -220,7 +222,7 @@ def oracle_sql() -> dict[str, str]:
         "source_profile": """
             SELECT source, count(*) AS n_docs,
                    count(DISTINCT lang) AS n_langs,
-                   sum(n_chars) AS sum_chars,
+                   CAST(sum(n_chars) AS BIGINT) AS sum_chars,
                    min(n_chars) AS min_chars,
                    max(n_chars) AS max_chars
             FROM documents GROUP BY source

@@ -40,9 +40,14 @@ def cb_bucket_pairs(sketches: DataFrame, cfg: DedupConfig) -> DataFrame:
     CB(tau, cA, cB) = cA/cB >= tau (cA <= cB) implies
     |floor(log_(1/tau) cA) - floor(log_(1/tau) cB)| <= 1, so an
     equi-join on log-cardinality buckets (right side exploded to
-    {b, b-1}) touches every CB-surviving pair exactly, without a global
-    sort or O(N^2) enumeration. The exact CB predicate re-filters after
-    the join. Carries hll_aux blobs when the criterion needs them.
+    {b-1, b, b+1}) touches every CB-surviving pair exactly, without a
+    global sort or O(N^2) enumeration. The right side must cover BOTH
+    adjacent buckets: the join is followed by an ``id_a < id_b`` filter,
+    and a straddling pair whose lower-bucket doc has the larger url_id
+    only survives in the (a=higher-bucket, b=lower-bucket) orientation.
+    The exact CB predicate re-filters after the join; dropDuplicates
+    collapses the same-bucket double match. Carries hll_aux blobs when
+    the criterion needs them.
     """
     import math
 
@@ -60,7 +65,7 @@ def cb_bucket_pairs(sketches: DataFrame, cfg: DedupConfig) -> DataFrame:
         *([F.col("hll_aux").alias("aux_a")] if has_aux else []),
     )
     b = base.select(
-        F.explode(F.array(F.col("bkt"), F.col("bkt") - 1)).alias("bkt"),
+        F.explode(F.array(F.col("bkt") - 1, F.col("bkt"), F.col("bkt") + 1)).alias("bkt"),
         F.col("url_id").alias("id_b"),
         F.col("card_i").alias("card_b"),
         *([F.col("hll_aux").alias("aux_b")] if has_aux else []),

@@ -163,6 +163,13 @@ def encode_registers_sparse(regs: np.ndarray) -> list[bytes]:
     shingles) leave most registers zero, so sparse cuts the bytes moved
     through Arrow/shuffles ~3-10x. Lossless: decode_registers inverts
     exactly; all estimator decisions are unchanged.
+
+    Disambiguation invariant: a sparse blob (4 + 3*nnz bytes) is always
+    STRICTLY SHORTER than the dense layout (2^p bytes); rows dense
+    enough that sparse wouldn't win fall back to the dense layout, so
+    decode_registers' len(blob) == 2^p dense check can never misparse a
+    sparse blob (a sparse row with nnz == (2^p - 4) / 3 is also exactly
+    2^p bytes).
     """
     n, m = regs.shape
     nz_r, nz_c = np.nonzero(regs)
@@ -173,6 +180,9 @@ def encode_registers_sparse(regs: np.ndarray) -> list[bytes]:
     out = []
     for i in range(n):
         lo, hi = offs[i], offs[i + 1]
+        if 4 + 3 * (hi - lo) >= m:  # sparse not strictly shorter -> dense
+            out.append(regs[i].tobytes())
+            continue
         out.append(
             np.uint32(hi - lo).tobytes()
             + idx16[lo:hi].tobytes()

@@ -118,8 +118,17 @@ def sketch_with_resume(
         sk = sketch_pages(missing, cfg).withColumn(
             "part_id", F.pmod(F.xxhash64("url"), F.lit(n_parts)).cast("int")
         )
-        mode = "append" if wh.exists("sketches") else "overwrite"
-        wh.write("sketches", sk, mode=mode, partition_by=["part_id"])
+        # Dynamic partition overwrite makes the write idempotent per
+        # part_id: a crash between this write and mark_parts leaves the
+        # parts unrecorded, and the resumed run REPLACES those exact
+        # partitions instead of appending duplicate sketch rows (Iceberg
+        # equivalent: MERGE / replaceWhere on part_id).
+        prev = wh.spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        wh.spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            wh.write("sketches", sk, mode="overwrite", partition_by=["part_id"])
+        finally:
+            wh.spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
         wall = time.time() - t0
         out_df = wh.read("sketches")
         n_in = missing.count()

@@ -27,6 +27,24 @@ def test_sketch_resume_skips_completed_parts(spark, tmp_path):
     assert {r.run_id for r in lineage} == {"r1"}
 
 
+def test_crash_between_write_and_mark_leaves_no_duplicates(spark, tmp_path):
+    """Crash window: sketches written but lineage NOT recorded. The
+    resumed run must REPLACE those partitions (dynamic partition
+    overwrite), not append duplicate sketch rows."""
+    wh = Warehouse(spark, str(tmp_path / "whc"))
+    pages = pages_from_corpus(spark, 120, seed=42)
+    sketch_with_resume(wh, pages, CFG, n_parts=8, run_id="r1")
+    # simulate the crash: data present, lineage wiped
+    import shutil
+
+    shutil.rmtree(wh.path("lineage"))
+    assert wh.completed_parts("sketch") == set()
+    sk = sketch_with_resume(wh, pages, CFG, n_parts=8, run_id="r2")
+    assert sk.count() == 120  # not 240
+    dupes = sk.groupBy("url_id").count().where("count > 1").count()
+    assert dupes == 0
+
+
 def test_partial_resume(spark, tmp_path):
     wh = Warehouse(spark, str(tmp_path / "wh2"))
     pages = pages_from_corpus(spark, 120, seed=42)
