@@ -22,17 +22,19 @@ from cuda_selection_criteria_spark.functions import (
     exact_dup_groups,
     lang_id_scores,
     lang_predict,
-    media_features,
+    media_feature_sums,
+    media_from_documents,
     ngram_jaccard_pairs,
     quality_scores,
     simhash_pairs,
     token_counts_bpe,
     source_profile,
-    synthetic_media,
     token_stats,
 )
+from cuda_selection_criteria_spark.functions.gates import dup_pairs_jaccard_gate
 from cuda_selection_criteria_spark.functions.ivf import embedding_ivf_topk
 from cuda_selection_criteria_spark.functions.winnow import winnow_overlap_pairs
+from cuda_selection_criteria_spark.operators import connected_components
 from cuda_selection_criteria_spark.oracle import DedupConfig
 from cuda_selection_criteria_spark.pipeline import dedup_pipeline
 
@@ -67,6 +69,25 @@ def _q_dup_pairs_smh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_dup_clusters_smh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_pipeline(_docs_as_pages(spark, sf_dir), _dedup_cfg()).clusters
+
+
+def _q_dup_clusters_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the SAME connected-components operator the smh flagship uses,
+    # hash-gated: its input is the already-DuckDB-green exact n-gram
+    # Jaccard edge set, so DuckDB can verify the clustering itself via a
+    # recursive-CTE transitive closure.
+    edges = ngram_jaccard_pairs(_docs(spark, sf_dir), k=5, min_jaccard=0.5, max_df=100)
+    comp = connected_components(edges, a_col="doc_a", b_col="doc_b")
+    return comp.select(F.col("node").alias("doc_id"), "cluster_id")
+
+
+def _q_dup_pairs_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # invariant VIOLATIONS of the smh flagship (expected: empty) — the
+    # DuckDB-checkable containment gate for the sketch decisions; see
+    # functions/gates.py.
+    docs = _docs(spark, sf_dir)
+    pairs = dedup_pipeline(_docs_as_pages(spark, sf_dir), _dedup_cfg()).dup_pairs
+    return dup_pairs_jaccard_gate(docs, pairs, _dedup_cfg())
 
 
 def _q_exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -118,7 +139,10 @@ def _q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return media_features(synthetic_media(spark, n_rows=64, seed=42))
+    # media table derived deterministically from documents (payload =
+    # UTF-8 text bytes, dims pure functions of doc_id) so the decode +
+    # pooled-feature plumbing is hash-checkable against DuckDB.
+    return media_feature_sums(media_from_documents(_docs(spark, sf_dir)))
 
 
 def _q_embedding_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -151,6 +175,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "dup_pairs_smh": _q_dup_pairs_smh,
         "dup_clusters_smh": _q_dup_clusters_smh,
+        "dup_clusters_ngram": _q_dup_clusters_ngram,
+        "dup_pairs_jaccard_gate": _q_dup_pairs_gate,
         "exact_dup_groups": _q_exact_dup_groups,
         "ngram_jaccard_pairs": _q_ngram_jaccard,
         "token_stats": _q_token_stats,
@@ -170,6 +196,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
+# shared CTE chain: exact k=5 n-gram Jaccard pairs (max_df=100 cap),
+# reused by the pair query and the connected-components oracle.
+_NGRAM_CTES = """
+            sh0 AS (
+              SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), 5) AS s
+              FROM documents d, LATERAL unnest(range(1, greatest(length(d.text) - 3, 1))) t(i)
+            ),
+            rare AS (
+              SELECT s FROM sh0 GROUP BY s
+              HAVING count(*) <= 100
+            ),
+            sh AS (SELECT sh0.* FROM sh0 JOIN rare USING (s)),
+            cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+            inter AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter_n
+              FROM sh a JOIN sh b USING (s) WHERE a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            ),
+            njp AS (
+              SELECT doc_a, doc_b, inter_n,
+                     ca.n + cb.n - inter_n AS union_n,
+                     round(CAST(inter_n AS DOUBLE) / (ca.n + cb.n - inter_n), 6) AS jaccard
+              FROM inter
+              JOIN cnt ca ON doc_a = ca.doc_id
+              JOIN cnt cb ON doc_b = cb.doc_id
+              WHERE round(CAST(inter_n AS DOUBLE) / (ca.n + cb.n - inter_n), 6) >= 0.5
+            )"""
+
+
 def oracle_sql() -> dict[str, str]:
     tokens = (
         "CASE WHEN length(text) = 0 THEN 0 "
@@ -185,29 +240,40 @@ def oracle_sql() -> dict[str, str]:
             SELECT min(doc_id) AS canonical_id, count(*) AS n_docs
             FROM documents GROUP BY text HAVING count(*) > 1
         """,
-        "ngram_jaccard_pairs": """
-            WITH sh0 AS (
-              SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), 5) AS s
-              FROM documents d, LATERAL unnest(range(1, greatest(length(d.text) - 3, 1))) t(i)
+        "ngram_jaccard_pairs": f"""
+            WITH {_NGRAM_CTES}
+            SELECT doc_a, doc_b, inter_n, union_n, jaccard FROM njp
+        """,
+        # connected components over the same (already hash-verified)
+        # exact n-gram edge set: transitive closure via recursive CTE,
+        # cluster_id = component minimum — verifies the Spark
+        # large-star/small-star operator the smh flagship also uses.
+        "dup_clusters_ngram": f"""
+            WITH RECURSIVE {_NGRAM_CTES},
+            sym AS (
+              SELECT doc_a AS a, doc_b AS b FROM njp
+              UNION ALL
+              SELECT doc_b AS a, doc_a AS b FROM njp
             ),
-            rare AS (
-              SELECT s FROM sh0 GROUP BY s
-              HAVING count(*) <= 100
-            ),
-            sh AS (SELECT sh0.* FROM sh0 JOIN rare USING (s)),
-            cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-            inter AS (
-              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter_n
-              FROM sh a JOIN sh b USING (s) WHERE a.doc_id < b.doc_id
-              GROUP BY 1, 2
+            reach(a, b) AS (
+              SELECT a, b FROM sym
+              UNION
+              SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+              WHERE s.b != r.a
             )
-            SELECT doc_a, doc_b, inter_n,
-                   ca.n + cb.n - inter_n AS union_n,
-                   round(CAST(inter_n AS DOUBLE) / (ca.n + cb.n - inter_n), 6) AS jaccard
-            FROM inter
-            JOIN cnt ca ON doc_a = ca.doc_id
-            JOIN cnt cb ON doc_b = cb.doc_id
-            WHERE round(CAST(inter_n AS DOUBLE) / (ca.n + cb.n - inter_n), 6) >= 0.5
+            SELECT a AS doc_id, CAST(least(a, min(b)) AS BIGINT) AS cluster_id
+            FROM reach GROUP BY a
+        """,
+        # containment gate for the smh flagship: the Spark side emits
+        # invariant VIOLATIONS (precision band + exact-duplicate
+        # recall, functions/gates.py); the oracle is the empty relation
+        # — any emitted row is a provable mistake and fails the hash.
+        "dup_pairs_jaccard_gate": """
+            SELECT CAST(NULL AS VARCHAR) AS url_a,
+                   CAST(NULL AS VARCHAR) AS url_b,
+                   CAST(NULL AS VARCHAR) AS kind,
+                   CAST(NULL AS BIGINT) AS exact_jaccard_x1e6
+            WHERE FALSE
         """,
         # CAST the sums: DuckDB sum() yields HUGEINT (canonicalized to
         # float64) while Spark yields bigint — values equal, hash not.
@@ -282,9 +348,31 @@ def oracle_sql() -> dict[str, str]:
                    CAST(length(text) >= 50 AND {tokens} >= 10 AS INT) AS passes_length_gate
             FROM documents
         """,
+        # media table = pure function of documents (media_from_documents):
+        # payload bytes are the UTF-8 text (ASCII corpus: ord == byte),
+        # plane[i,j] = payload[(i*131 + j*31) % len], dims from doc_id.
+        # feat_sum[d] = sum of plane bytes at flat index == d (mod 16).
+        "media_features": """
+            WITH m AS (
+              SELECT doc_id AS media_id, text,
+                     4 + (doc_id % 13) AS w, 4 + (doc_id % 11) AS h,
+                     length(text) AS n
+              FROM documents
+            ),
+            cells AS (
+              SELECT media_id,
+                     CAST((i * w + j) % 16 AS INT) AS dim,
+                     ord(substr(text, CAST((i * 131 + j * 31) % n + 1 AS INT), 1)) AS v
+              FROM m,
+              LATERAL unnest(range(0, h)) ti(i),
+              LATERAL unnest(range(0, w)) tj(j)
+            )
+            SELECT media_id, dim, CAST(sum(v) AS BIGINT) AS feat_sum
+            FROM cells GROUP BY media_id, dim
+        """,
         # dup_pairs_smh / dup_clusters_smh / embedding_lsh_candidates /
-        # simhash_pairs / media_features: sketch/hash decisions not
-        # expressible in ANSI SQL -> rows-only.
+        # simhash_pairs: sketch/hash decisions not expressible in ANSI
+        # SQL -> rows-only (plus derived SQL-checkable gates below).
     }
 
 

@@ -16,7 +16,14 @@ from .textstats import (
 from .ngram import ngram_jaccard_pairs
 from .similarity import embedding_knn, embedding_lsh_candidates
 from .simhash import simhash_docs, simhash_pairs
-from .multimodal import media_features, media_thumbnails, frame_sample, synthetic_media
+from .multimodal import (
+    media_features,
+    media_feature_sums,
+    media_from_documents,
+    media_thumbnails,
+    frame_sample,
+    synthetic_media,
+)
 
 __all__ = [
     "token_count_col",
@@ -34,6 +41,8 @@ __all__ = [
     "simhash_docs",
     "simhash_pairs",
     "media_features",
+    "media_feature_sums",
+    "media_from_documents",
     "media_thumbnails",
     "frame_sample",
     "synthetic_media",

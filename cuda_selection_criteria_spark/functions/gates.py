@@ -1,0 +1,125 @@
+"""Derived SQL-checkable gates for the sketch-dedup flagship.
+
+The SMH/HLL decisions themselves are not ANSI-SQL-expressible (DuckDB
+cannot reproduce WangHash / Ertl-MLE / SuperMinHash), but two hard
+invariants of the emitted output ARE exactly checkable:
+
+1. **Precision band** — every emitted dup pair has exact k-shingle
+   Jaccard >= tau - eps. The HLL p=14 union estimator has ~0.8%
+   relative error per cardinality (Ertl, arXiv:1702.01284), so an
+   emitted pair (estimated J >= tau) can sit only a few percent below
+   tau in exact J; eps bounds that band with wide margin.
+2. **Exact-duplicate recall** — byte-identical documents have identical
+   shingle sets, hence identical SuperMinHash signatures (every band
+   collides) and identical HLL registers (estimated J == 1), so every
+   exact-duplicate pair MUST be emitted in parity ("all") pairing mode.
+
+``dup_pairs_jaccard_gate`` emits the VIOLATIONS of both invariants —
+the expected result is the empty relation, which is the DuckDB oracle
+(the golden-gate discipline of the reference's results.txt, inverted:
+rather than pinning the pair list, we pin "zero provable mistakes").
+
+This mirrors /root/reference/run_comparison_experiment.sh:36-53, which
+gates the CUDA path against the CPU oracle pair-by-pair.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..oracle import DedupConfig
+from .ngram import doc_shingles
+
+
+def exact_jaccard_for_pairs(
+    pairs: DataFrame, documents: DataFrame, k: int
+) -> DataFrame:
+    """Annotate (url_a, url_b) pairs with their exact k-shingle Jaccard.
+
+    Cheap at any scale: documents are semi-joined down to the pair
+    participants before the shingle explode, so cost is O(|pairs| *
+    doc_len), never O(corpus).
+    """
+    need = (
+        pairs.select(F.col("url_a").alias("u"))
+        .union(pairs.select(F.col("url_b").alias("u")))
+        .distinct()
+    )
+    docs = (
+        documents.withColumn("u", F.col("doc_id").cast("string"))
+        .join(need, "u")
+        .select(F.col("u").alias("doc_id"), "text")
+    )
+    sh = doc_shingles(docs, k)
+    cnt = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    inter = (
+        pairs.join(sh.select(F.col("doc_id").alias("url_a"), "s"), "url_a")
+        .join(sh.select(F.col("doc_id").alias("url_b"), F.col("s").alias("s2")), "url_b")
+        .where(F.col("s") == F.col("s2"))
+        .groupBy("url_a", "url_b")
+        .agg(F.count("*").alias("inter_n"))
+    )
+    return (
+        pairs.join(inter, ["url_a", "url_b"], "left")
+        .join(cnt.select(F.col("doc_id").alias("url_a"), F.col("n").alias("na")), "url_a")
+        .join(cnt.select(F.col("doc_id").alias("url_b"), F.col("n").alias("nb")), "url_b")
+        .withColumn("inter_n", F.coalesce(F.col("inter_n"), F.lit(0)))
+        .withColumn(
+            "exact_jaccard",
+            F.col("inter_n").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("inter_n")).cast("double"),
+        )
+    )
+
+
+def dup_pairs_jaccard_gate(
+    documents: DataFrame,
+    dup_pairs: DataFrame,
+    cfg: DedupConfig,
+    precision_eps: float = 0.08,
+) -> DataFrame:
+    """(url_a, url_b, kind, exact_jaccard_x1e6): invariant VIOLATIONS.
+
+    kind='precision': emitted pair with exact Jaccard < tau - eps.
+    kind='recall': byte-identical document pair missing from dup_pairs.
+    Expected: empty. Jaccard is emitted as x1e6 fixed-point so the
+    (empty) relation hashes identically across engines.
+    """
+    exact = exact_jaccard_for_pairs(
+        dup_pairs.select("url_a", "url_b"), documents, cfg.shingle_k
+    )
+    precision_viol = exact.where(
+        F.col("exact_jaccard") < F.lit(cfg.tau - precision_eps)
+    ).select(
+        "url_a",
+        "url_b",
+        F.lit("precision").alias("kind"),
+        F.floor(F.col("exact_jaccard") * 1e6).cast("long").alias("exact_jaccard_x1e6"),
+    )
+
+    # exact-duplicate pairs: canonical (min doc_id) x every other member
+    # of each identical-text group — must all be present in dup_pairs.
+    d = documents.select(F.col("doc_id").cast("string").alias("u"), "text").where(
+        F.length("text") >= cfg.shingle_k
+    )
+    grp = d.groupBy("text").agg(
+        F.min("u").alias("canon"), F.collect_list("u").alias("members")
+    )
+    ident = (
+        grp.select("canon", F.explode("members").alias("other"))
+        .where(F.col("canon") != F.col("other"))
+        .select(
+            F.least("canon", "other").alias("url_a"),
+            F.greatest("canon", "other").alias("url_b"),
+        )
+    )
+    recall_viol = ident.join(
+        dup_pairs.select("url_a", "url_b"), ["url_a", "url_b"], "left_anti"
+    ).select(
+        "url_a",
+        "url_b",
+        F.lit("recall").alias("kind"),
+        F.lit(1000000).cast("long").alias("exact_jaccard_x1e6"),
+    )
+    return precision_viol.union(recall_viol)

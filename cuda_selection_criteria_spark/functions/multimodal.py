@@ -83,6 +83,68 @@ def media_features(
     return src.mapInPandas(fn, schema=FEATURE_SCHEMA)
 
 
+def media_from_documents(documents: DataFrame) -> DataFrame:
+    """Deterministic media table derived from ``documents``: payload =
+    UTF-8 text bytes, dims a pure function of doc_id. Because every
+    column is derivable from the documents parquet, a DuckDB oracle can
+    reproduce any integer feature of the decoded plane — giving the
+    multimodal plumbing a hard hash-checked gate."""
+    return documents.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        F.lit("image/fake").alias("mime"),
+        (F.lit(4) + F.pmod(F.col("doc_id"), F.lit(13))).cast("int").alias("width"),
+        (F.lit(4) + F.pmod(F.col("doc_id"), F.lit(11))).cast("int").alias("height"),
+        F.pmod(F.col("doc_id"), F.lit(120)).cast("int").alias("n_frames"),
+    )
+
+
+def media_feature_sums(media: DataFrame, feat_dim: int = 16, codec: str = "fake") -> DataFrame:
+    """(media_id, dim, feat_sum): integer pooled features of the decoded
+    plane, exploded one row per feature dimension.
+
+    feat_sum[d] = sum of plane bytes at flat positions == d mod feat_dim
+    — integer-exact, so the result hashes identically across engines
+    and partitionings (unlike the float pooling in media_features, whose
+    array<float> output the driver's canonicalizer can't sort). Same
+    decode plumbing (Arrow batches, mapInPandas, column pruning).
+    """
+    if codec == "real":
+        raise NotImplementedError(
+            "real codecs (Pillow/ffmpeg) are not installed in this container; "
+            "use codec='fake' for the deterministic stand-in"
+        )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        dims = np.arange(feat_dim, dtype=np.int32)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids, out_dims, sums = [], [], []
+            for mid, payload, w, h in zip(
+                pdf["media_id"], pdf["payload"], pdf["width"], pdf["height"]
+            ):
+                plane = _fake_decode(bytes(payload or b""), int(w), int(h))
+                flat = plane.ravel().astype(np.int64)
+                s = np.bincount(
+                    np.arange(flat.size) % feat_dim, weights=flat, minlength=feat_dim
+                ).astype(np.int64)
+                ids.append(np.full(feat_dim, mid, dtype=np.int64))
+                out_dims.append(dims)
+                sums.append(s)
+            yield pd.DataFrame(
+                {
+                    "media_id": np.concatenate(ids),
+                    "dim": np.concatenate(out_dims),
+                    "feat_sum": np.concatenate(sums),
+                }
+            )
+
+    return media.select("media_id", "payload", "width", "height").mapInPandas(
+        fn, schema="media_id long, dim int, feat_sum long"
+    )
+
+
 def media_thumbnails(media: DataFrame, max_side: int = 8, codec: str = "fake") -> DataFrame:
     """Resize (nearest-neighbor) to a bounded thumbnail, re-encoded as
     raw bytes. Same stub discipline as media_features."""
