@@ -53,6 +53,7 @@ def embedding_ivf_topk(
     seed: int = 7,
     sample_n: int = 4096,
     round_digits: int = 4,
+    max_cell: int = 4096,
 ) -> DataFrame:
     """(vec_id, neighbor_id, sim): approximate cosine top-1 via IVF.
 
@@ -61,6 +62,14 @@ def embedding_ivf_topk(
     per-cell search are distributed. Compare against ``embedding_knn``
     for recall; cells bound the pairwise work to sum(cell^2) instead
     of N^2.
+
+    ``max_cell`` caps the straggler: a hot cell of f members (skewed
+    corpora put near-duplicate embeddings in one cell) is split into
+    s = ceil(f / max_cell) member blocks; queries replicate to every
+    block of their probed cell, so one task holds at most ~max_cell
+    members x the block's queries instead of the whole f^2. The window
+    reduce below already merges per-block partial top-1s (max over
+    blocks of block maxima == global max, same tie-break).
     """
     sample = embeddings.select("embedding").limit(sample_n).collect()
     Vs = np.array([np.asarray(r.embedding, dtype=np.float64) for r in sample])
@@ -99,24 +108,55 @@ def embedding_ivf_topk(
         assign, schema="vec_id long, cell int, vec array<float>"
     )
 
+    # hot-cell split: members hashed into blocks, queries replicated to
+    # every block; cells at or under max_cell keep one block (s = 1, no
+    # replication — queries == members, handled inside search).
+    sizes = assigned.groupBy("cell").agg(F.count("*").alias("_n"))
+    assigned = assigned.join(F.broadcast(sizes), "cell").withColumn(
+        "_s", F.ceil(F.col("_n") / F.lit(max_cell)).cast("int")
+    )
+    members = assigned.select(
+        "cell",
+        F.pmod(F.xxhash64("vec_id"), F.col("_s")).cast("int").alias("blk"),
+        F.lit(False).alias("is_query"),
+        "vec_id",
+        "vec",
+    )
+    queries = assigned.where(F.col("_s") > 1).select(
+        "cell",
+        F.explode(F.sequence(F.lit(0), F.col("_s") - 1)).alias("blk"),
+        F.lit(True).alias("is_query"),
+        "vec_id",
+        "vec",
+    )
+    blocked = members.union(queries)
+
     def search(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"vec_id": [], "neighbor_id": [], "sim": []})
         if len(pdf) == 0:
-            return pd.DataFrame({"vec_id": [], "neighbor_id": [], "sim": []})
-        ids = pdf["vec_id"].values
-        V = np.array([np.asarray(v, dtype=np.float64) for v in pdf["vec"]])
-        S = V @ V.T
-        S[ids[:, None] == ids[None, :]] = -np.inf
+            return empty
+        is_q = pdf["is_query"].values
+        m = pdf.loc[~is_q]
+        q = pdf.loc[is_q] if is_q.any() else m  # unsplit cell: members query themselves
+        if len(m) == 0 or len(q) == 0:
+            return empty
+        m_ids = m["vec_id"].values
+        q_ids = q["vec_id"].values
+        M = np.array([np.asarray(v, dtype=np.float64) for v in m["vec"]])
+        Q = np.array([np.asarray(v, dtype=np.float64) for v in q["vec"]])
+        S = Q @ M.T
+        S[q_ids[:, None] == m_ids[None, :]] = -np.inf
         Sr = np.round(S, round_digits)
         best = Sr.max(axis=1)
-        out_n = np.zeros(len(ids), dtype=np.int64)
+        out_n = np.zeros(len(q_ids), dtype=np.int64)
         keep = np.isfinite(best)
         for i in np.nonzero(keep)[0]:
-            out_n[i] = ids[np.nonzero(Sr[i] == best[i])[0]].min()
+            out_n[i] = m_ids[np.nonzero(Sr[i] == best[i])[0]].min()
         return pd.DataFrame(
-            {"vec_id": ids[keep], "neighbor_id": out_n[keep], "sim": best[keep]}
+            {"vec_id": q_ids[keep], "neighbor_id": out_n[keep], "sim": best[keep]}
         )
 
-    per_cell = assigned.groupBy("cell").applyInPandas(
+    per_cell = blocked.groupBy("cell", "blk").applyInPandas(
         search, schema="vec_id long, neighbor_id long, sim double"
     )
     # a vector probed into multiple cells: keep its best neighbor

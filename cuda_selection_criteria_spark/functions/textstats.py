@@ -21,14 +21,19 @@ def token_count_col(text: Column) -> Column:
 
 
 def exact_dup_groups(documents: DataFrame) -> DataFrame:
-    """Exact duplicate groups by full-text equality (hash groupBy).
+    """Exact duplicate groups by full-text equality.
 
-    At scale, group on xxhash64(text) first and re-check text equality
-    within groups; at test scale grouping on text directly is identical
-    and keeps the oracle trivially expressible.
+    Groups on (xxhash64(text), md5(text)) — a 24-byte compound key —
+    so full document bodies never ride the shuffle (at 100 TB the text
+    column dominates; the hash pair is ~3 orders of magnitude
+    narrower). Semantically identical to grouping by text itself unless
+    two DIFFERENT texts collide on xxhash64 AND md5 simultaneously
+    (< 2^-190 per pair; no in-group re-check can distinguish texts
+    without shuffling them, and md5 is already a cryptographic-width
+    check). Output matches the group-by-text oracle.
     """
     return (
-        documents.groupBy("text")
+        documents.groupBy(F.xxhash64("text").alias("_h"), F.md5("text").alias("_fp"))
         .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("canonical_id"))
         .where(F.col("n_docs") > 1)
         .select("canonical_id", "n_docs")

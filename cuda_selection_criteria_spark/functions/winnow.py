@@ -67,12 +67,33 @@ def winnow_fingerprints(
 
 
 def winnow_overlap_pairs(
-    documents: DataFrame, k: int = 16, w: int = 8, min_shared: int = 3
+    documents: DataFrame,
+    k: int = 16,
+    w: int = 8,
+    min_shared: int = 3,
+    max_df: int | None = 100,
 ) -> DataFrame:
     """(doc_a, doc_b, shared_fps): pairs sharing >= min_shared
     fingerprints — substring-level near-dup candidates. Same
-    explode + equi-join shape as every other candidate generator."""
+    explode + equi-join shape as every other candidate generator.
+
+    ``max_df``: fingerprints present in more than this many documents
+    are dropped BEFORE the self-join (the absolute stop-shingle cut of
+    ngram.py, applied to fingerprints). Without it one boilerplate
+    substring shared by f documents contributes f^2 join rows — the
+    scale-killer at web corpus size. Part of the operator definition
+    (MOSS itself drops ubiquitous fingerprints as template noise);
+    pairs whose overlap is ONLY boilerplate are intentionally excluded.
+    """
     fps = winnow_fingerprints(documents, k, w)
+    if max_df is not None:
+        rare = (
+            fps.groupBy("fp")
+            .agg(F.count("*").alias("_df"))
+            .where(F.col("_df") <= max_df)  # absolute cap: join fanout
+            .select("fp")  # per fp bounded by max_df^2, corpus-size-free
+        )
+        fps = fps.join(rare, "fp")
     a = fps.select(F.col("doc_id").alias("doc_a"), "fp")
     b = fps.select(F.col("doc_id").alias("doc_b"), "fp")
     return (

@@ -194,6 +194,7 @@ def candidate_pairs(
     cfg: DedupConfig = DedupConfig(),
     max_band_bucket: int | None = None,
     bucket_pairing: str = "all",
+    salt_target: int | None = None,
 ) -> DataFrame:
     """-> (id_a, id_b, card_a, card_b) candidate pairs, id_a < id_b.
 
@@ -210,34 +211,75 @@ def candidate_pairs(
 
     ``max_band_bucket``: if set, band buckets larger than this are
     dropped entirely (last-resort flood guard; OFF for parity).
+
+    ``salt_target``: explicit two-level salting for hot band keys in
+    parity mode (the OpenMP-dynamic-schedule analogue the reference
+    uses for skewed per-file cost, src/build_sketch.cpp:232; SURVEY §4).
+    A bucket of f rows is split into s = ceil(f / salt_target) salt
+    blocks; each side joins on (band, salt_a, salt_b), spreading the
+    f^2 pair work over s^2 shuffle keys of ~salt_target^2 work each
+    instead of one straggler key. Every pair still appears exactly once
+    (a's salt pins salt_a, b's pins salt_b). Buckets at or under
+    salt_target are untouched (s = 1). OFF by default: AQE skew-join
+    splitting covers moderate skew; turn this on when one template
+    clique exceeds what a single task should hold.
     """
     if bucket_pairing == "star":
         return _star_pairs(sketches, cfg, max_band_bucket)
     bands = explode_bands(sketches, cfg)
-    if max_band_bucket is not None:
+    sizes = None
+    if max_band_bucket is not None or salt_target is not None:
         sizes = bands.groupBy("band_id", "band").agg(F.count("*").alias("_n"))
-        bands = (
-            bands.join(
-                F.broadcast(sizes.where(F.col("_n") > max_band_bucket)),
-                ["band_id", "band"],
-                "left_anti",
-            )
+    if max_band_bucket is not None:
+        bands = bands.join(
+            F.broadcast(sizes.where(F.col("_n") > max_band_bucket)),
+            ["band_id", "band"],
+            "left_anti",
         )
-    a = bands.select(
-        F.col("band_id"),
-        F.col("band"),
-        F.col("url_id").alias("id_a"),
-        F.col("card_i").alias("card_a"),
-    )
-    b = bands.select(
-        F.col("band_id"),
-        F.col("band"),
-        F.col("url_id").alias("id_b"),
-        F.col("card_i").alias("card_b"),
-    )
+    if salt_target is not None:
+        hot = sizes.where(F.col("_n") > salt_target)
+        if max_band_bucket is not None:
+            hot = hot.where(F.col("_n") <= max_band_bucket)
+        bands = bands.join(F.broadcast(hot), ["band_id", "band"], "left").withColumn(
+            "_s",
+            F.ceil(F.coalesce(F.col("_n"), F.lit(1)) / F.lit(salt_target)).cast("int"),
+        )
+        all_salts = F.explode(F.sequence(F.lit(0), F.col("_s") - 1))
+        own_salt = F.pmod(F.xxhash64("url_id"), F.col("_s")).cast("int")
+        a = bands.select(
+            "band_id",
+            "band",
+            own_salt.alias("sa"),
+            all_salts.alias("sb"),
+            F.col("url_id").alias("id_a"),
+            F.col("card_i").alias("card_a"),
+        )
+        b = bands.select(
+            "band_id",
+            "band",
+            all_salts.alias("sa"),
+            own_salt.alias("sb"),
+            F.col("url_id").alias("id_b"),
+            F.col("card_i").alias("card_b"),
+        )
+        join_key = ["band_id", "band", "sa", "sb"]
+    else:
+        a = bands.select(
+            F.col("band_id"),
+            F.col("band"),
+            F.col("url_id").alias("id_a"),
+            F.col("card_i").alias("card_a"),
+        )
+        b = bands.select(
+            F.col("band_id"),
+            F.col("band"),
+            F.col("url_id").alias("id_b"),
+            F.col("card_i").alias("card_b"),
+        )
+        join_key = ["band_id", "band"]
     tau = cfg.tau
     pairs = (
-        a.join(b, on=["band_id", "band"])
+        a.join(b, on=join_key)
         .where(F.col("id_a") < F.col("id_b"))
         # CB prune before the dedup shuffle (cheap, symmetric form)
         .where(

@@ -103,6 +103,11 @@ def sketch_pages(
     src = pages.select("url", F.xxhash64(F.col("url")).alias("url_id"), "text")
     if min_partitions is None:
         min_partitions = pages.sparkSession.sparkContext.defaultParallelism
-    if src.rdd.getNumPartitions() < min_partitions:
+    # partition-count probe without df.rdd (a Python-RDD conversion is
+    # planned on every access): file inputs expose their split count via
+    # inputFiles(); only non-file inputs (in-memory test DFs) fall back
+    # to the rdd path.
+    n_parts = len(pages.inputFiles()) or src.rdd.getNumPartitions()
+    if n_parts < min_partitions:
         src = src.repartition(min_partitions)
     return src.mapInPandas(_sketch_batches(cfg), schema=sketch_schema(cfg))

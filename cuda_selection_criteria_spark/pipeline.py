@@ -35,6 +35,7 @@ def dedup_from_sketches(
     cfg: DedupConfig = DedupConfig(),
     max_band_bucket: int | None = None,
     bucket_pairing: str = "all",
+    salt_target: int | None = None,
 ) -> DedupResult:
     """Post-sketch stages only: candidates -> verify -> clusters.
 
@@ -46,7 +47,11 @@ def dedup_from_sketches(
     """
     if cfg.criterion == "smh_a":
         cands = candidate_pairs(
-            sketches, cfg, max_band_bucket=max_band_bucket, bucket_pairing=bucket_pairing
+            sketches,
+            cfg,
+            max_band_bucket=max_band_bucket,
+            bucket_pairing=bucket_pairing,
+            salt_target=salt_target,
         )
     else:
         from .operators.candidates import aux_criterion_filter, cb_bucket_pairs
@@ -72,6 +77,7 @@ def dedup_pipeline(
     persist_sketches: bool = True,
     max_band_bucket: int | None = None,
     bucket_pairing: str = "all",
+    salt_target: int | None = None,
     min_partitions: int | None = None,
 ) -> DedupResult:
     """pages(url, text, ...) -> sketches, dup_pairs(url_a,url_b,jaccard),
@@ -91,7 +97,11 @@ def dedup_pipeline(
         # warehouse sketches table instead (warehouse.sketch_with_resume).
         sketches = sketches.localCheckpoint(eager=True)
     return dedup_from_sketches(
-        sketches, cfg, max_band_bucket=max_band_bucket, bucket_pairing=bucket_pairing
+        sketches,
+        cfg,
+        max_band_bucket=max_band_bucket,
+        bucket_pairing=bucket_pairing,
+        salt_target=salt_target,
     )
 
 

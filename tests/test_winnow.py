@@ -30,6 +30,45 @@ def test_winnow_rightmost_tie_deterministic():
     assert _winnow(h, 3).tolist() == [5]
 
 
+def test_winnow_boilerplate_df_cap(spark):
+    """A boilerplate substring shared by MANY docs must not explode the
+    self-join: with max_df below the flood size, the flood contributes
+    zero pairs; genuine rare overlaps still surface."""
+    import random
+
+    boiler = "standard site footer boilerplate text repeated on every single page "
+    rare = "a genuinely shared unique passage long enough to fingerprint reliably "
+
+    def gibberish(i: int) -> str:
+        # per-doc random letters: no k=16 window recurs across docs
+        rng = random.Random(1000 + i)
+        return "".join(rng.choice("abcdefghijklmnopqrstuvwxyz") for _ in range(60))
+
+    rows = [(i, boiler + gibberish(i)) for i in range(40)]
+    rows += [(100, rare + "tail one"), (101, rare + "tail two")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    capped = winnow_overlap_pairs(docs, min_shared=1, max_df=10).collect()
+    got = {(r.doc_a, r.doc_b) for r in capped}
+    assert (100, 101) in got
+    # the flood collapses: the hot fingerprints (df=40) are gone, so the
+    # clique's 780 pairs shrink to the few boundary-selected low-df
+    # stragglers (winnowing's selection varies near the suffix junction)
+    boiler_pairs = sum(1 for a, b in got if a < 100 and b < 100)
+    assert boiler_pairs < 50
+
+    # join fanout bound: after the cap no fingerprint joins more than
+    # max_df docs (the f^2-rows-per-fp scale killer)
+    from pyspark.sql import functions as F
+
+    fps = winnow_fingerprints(docs)
+    rare = fps.groupBy("fp").agg(F.count("*").alias("df")).where(F.col("df") <= 10)
+    assert fps.join(rare, "fp").groupBy("fp").count().agg(F.max("count")).collect()[0][0] <= 10
+
+    uncapped = winnow_overlap_pairs(docs, min_shared=1, max_df=None)
+    assert uncapped.where("doc_a < 100 AND doc_b < 100").count() == 780
+
+
 def test_winnow_pairs(spark):
     pdf = pd.DataFrame(
         {
