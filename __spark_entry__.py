@@ -71,6 +71,14 @@ def _q_dup_clusters_smh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_pipeline(_docs_as_pages(spark, sf_dir), _dedup_cfg()).clusters
 
 
+def _q_dup_pairs_smh_m512(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # reference bench config: m=512 signatures
+    # (/root/reference/run_time_experiment.sh:10), the compute-bound
+    # regime the reference's timing experiments measure.
+    cfg = DedupConfig(tau=0.9, shingle_k=16, smh_m=512, hll_p=14)
+    return dedup_pipeline(_docs_as_pages(spark, sf_dir), cfg).dup_pairs
+
+
 def _q_dup_clusters_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the SAME connected-components operator the smh flagship uses,
     # hash-gated: its input is the already-DuckDB-green exact n-gram
@@ -177,6 +185,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_clusters_smh": _q_dup_clusters_smh,
         "dup_clusters_ngram": _q_dup_clusters_ngram,
         "dup_pairs_jaccard_gate": _q_dup_pairs_gate,
+        "dup_pairs_smh_m512": _q_dup_pairs_smh_m512,
         "exact_dup_groups": _q_exact_dup_groups,
         "ngram_jaccard_pairs": _q_ngram_jaccard,
         "token_stats": _q_token_stats,

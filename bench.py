@@ -32,6 +32,7 @@ def main() -> None:
 
     headline = [
         "dup_pairs_smh",
+        "dup_pairs_smh_m512",
         "dup_clusters_smh",
         "exact_dup_groups",
         "ngram_jaccard_pairs",

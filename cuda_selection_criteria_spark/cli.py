@@ -73,6 +73,7 @@ def cmd_dedup(args) -> None:
             _cfg(args),
             max_band_bucket=args.max_band_bucket,
             bucket_pairing=args.bucket_pairing,
+            salt_target=args.salt_target,
         )
     else:
         res = dedup_pipeline(
@@ -80,6 +81,7 @@ def cmd_dedup(args) -> None:
             _cfg(args),
             max_band_bucket=args.max_band_bucket,
             bucket_pairing=args.bucket_pairing,
+            salt_target=args.salt_target,
         )
     wh = Warehouse(spark, args.warehouse)
     wh.write("dup_pairs", res.dup_pairs)
@@ -123,6 +125,13 @@ def main(argv=None) -> None:
         s.add_argument("--m", type=int, default=64)
         s.add_argument("--parts", type=int, default=32)
         s.add_argument("--max-band-bucket", type=int, default=None)
+        s.add_argument(
+            "--salt-target",
+            type=int,
+            default=None,
+            help="two-level salting of hot band keys in parity mode: buckets "
+            "larger than this split into salt blocks (see candidate_pairs)",
+        )
         s.add_argument(
             "--bucket-pairing",
             choices=["all", "star"],

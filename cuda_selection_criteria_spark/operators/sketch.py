@@ -33,7 +33,7 @@ from ..sketchlib.batch import (
     hll_batch,
     superminhash_batch,
 )
-from ..sketchlib.hashes import shingle_hashes
+from ..sketchlib.hashes import shingle_hashes, shingle_hashes_batch
 
 SKETCH_SCHEMA = (
     "url string, url_id long, card double, card_i long, hll14 binary, smh array<long>"
@@ -56,13 +56,22 @@ def _sketch_batches(cfg: DedupConfig):
             if n == 0:
                 continue
             texts = pdf["text"].fillna("").tolist()
-            sets = [shingle_hashes(t, k) for t in texts]
-            counts = np.array([s.size for s in sets], dtype=np.int64)
-            if counts.sum():
-                items = np.concatenate([s for s in sets if s.size])
+            # adaptive shingling (both bit-identical, tests pin it):
+            # short docs -> chunk-vectorized batch pass (2.1x: per-doc
+            # Python overhead dominates); long docs -> per-doc numpy
+            # (small cache-resident buffers beat the chunked pass's
+            # streaming temporaries on fault-throttled hosts; measured
+            # 1.05s vs 1.25s per 4096x1.6KB batch, crossover ~0.5KB).
+            if sum(len(t) for t in texts) <= 512 * n:
+                items, didx = shingle_hashes_batch(texts, k)
             else:
-                items = np.empty(0, dtype=np.uint64)
-            didx = np.repeat(np.arange(n, dtype=np.int64), counts)
+                sets = [shingle_hashes(t, k) for t in texts]
+                counts = np.array([s.size for s in sets], dtype=np.int64)
+                if counts.sum():
+                    items = np.concatenate([s for s in sets if s.size])
+                else:
+                    items = np.empty(0, dtype=np.uint64)
+                didx = np.repeat(np.arange(n, dtype=np.int64), counts)
             regs = hll_batch(items, didx, n, p)
             sigs = superminhash_batch(items, didx, n, m)
             cards = cardinalities(regs, p)

@@ -145,6 +145,78 @@ def shingle_hashes(data: bytes | np.ndarray, k: int, dedup: bool = True) -> np.n
     return out
 
 
+def shingle_hashes_batch(
+    texts: list, k: int, chunk_windows: int = 131072
+) -> tuple[np.ndarray, np.ndarray]:
+    """Deduplicated shingle hashes for MANY documents, chunk-vectorized.
+
+    Returns (items u64, doc_idx i64): the per-document shingle SETS,
+    concatenated, with doc_idx ascending — exactly what the batched
+    sketch kernels consume. Bit-identical to per-doc ``shingle_hashes``
+    (same polynomial map, same per-doc dedup).
+
+    Chunking (doc-boundary aligned, ~``chunk_windows`` rolling windows
+    per chunk): a whole-batch pass allocates tens of MB of streaming
+    temporaries, which this host's throttled fault/DRAM path makes
+    SLOWER than per-doc numpy on cache-resident arrays (measured 14x).
+    ~1 MB chunk temporaries stay in cache; the Python loop shrinks from
+    one iteration per document to one per ~80 documents.
+    """
+    enc = [t.encode("utf-8") if isinstance(t, str) else bytes(t or b"") for t in texts]
+    lens = np.array([len(b) for b in enc], dtype=np.int64)
+    n_docs = len(enc)
+    nh_doc = np.maximum(lens - (k - 1), 0)
+    total_windows = int(nh_doc.sum())
+    if n_docs == 0 or total_windows == 0:
+        return np.empty(0, dtype=U64), np.empty(0, dtype=np.int64)
+    pw = _poly_powers(k)
+    out_h = np.empty(total_windows, dtype=U64)
+    out_d = np.empty(total_windows, dtype=np.int64)
+    wpos = 0
+    lo = 0
+    with np.errstate(over="ignore"):
+        while lo < n_docs:
+            hi = lo + 1
+            wins = int(nh_doc[lo])
+            while hi < n_docs and wins + int(nh_doc[hi]) <= chunk_windows:
+                wins += int(nh_doc[hi])
+                hi += 1
+            if wins == 0:
+                lo = hi
+                continue
+            arr = np.frombuffer(b"".join(enc[lo:hi]), dtype=np.uint8)
+            c_lens = lens[lo:hi]
+            c_nh = nh_doc[lo:hi]
+            n_win_all = arr.shape[0] - k + 1
+            a64 = arr.astype(U64)
+            acc = np.zeros(n_win_all, dtype=U64)
+            for j in range(k):
+                acc += a64[j : j + n_win_all] * pw[j]
+            c_starts = np.cumsum(c_lens) - c_lens
+            first = np.repeat(np.concatenate([[0], np.cumsum(c_nh)[:-1]]), c_nh)
+            valid = np.repeat(c_starts, c_nh) + (
+                np.arange(wins, dtype=np.int64) - first
+            )
+            hashes = splitmix64(acc[valid])
+            didx = np.repeat(np.arange(lo, hi, dtype=np.int64), c_nh)
+            # per-doc set dedup: sort by (doc, hash), drop repeats
+            order = np.lexsort((hashes, didx))
+            h_s, d_s = hashes[order], didx[order]
+            keep = np.empty(wins, dtype=bool)
+            keep[0] = True
+            np.not_equal(h_s[1:], h_s[:-1], out=keep[1:])
+            keep[1:] |= d_s[1:] != d_s[:-1]
+            n_keep = int(keep.sum())
+            out_h[wpos : wpos + n_keep] = h_s[keep]
+            out_d[wpos : wpos + n_keep] = d_s[keep]
+            wpos += n_keep
+            lo = hi
+    # slice views, not copies: a copy would fault another ~total_windows*8
+    # bytes of fresh memory (slow path on this host); the base buffer is
+    # the same allocation either way.
+    return out_h[:wpos], out_d[:wpos]
+
+
 def word_shingle_hashes(text: str, k: int, dedup: bool = True) -> np.ndarray:
     """k-word shingles (whitespace tokenization) hashed to u64.
 

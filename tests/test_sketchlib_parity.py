@@ -140,3 +140,29 @@ def test_golden_results_reproduced_end_to_end():
     assert [(a, b) for a, b, _ in got] == [(a, b) for a, b, _ in golden]
     for (_, _, j_got), (_, _, j_exp) in zip(got, golden):
         assert abs(j_got - j_exp) < 1e-6
+
+
+def test_batch_shingling_bit_identical_to_per_doc():
+    """shingle_hashes_batch must return exactly the per-doc shingle
+    sets (sorted), including empty/short/boundary-length docs."""
+    import random
+
+    import numpy as np
+
+    from cuda_selection_criteria_spark.sketchlib.hashes import (
+        shingle_hashes,
+        shingle_hashes_batch,
+    )
+
+    rng = random.Random(42)
+    texts = [
+        "".join(rng.choice("abcdef ghij") for _ in range(rng.randint(0, 300)))
+        for _ in range(200)
+    ] + ["", "shrt", "x" * 15, "y" * 16, "z" * 17]
+    for k in (5, 16, 31):
+        items, didx = shingle_hashes_batch(texts, k)
+        assert np.array_equal(didx, np.sort(didx))
+        for i, t in enumerate(texts):
+            ref = np.sort(shingle_hashes(t, k))
+            got = items[didx == i]
+            assert np.array_equal(ref, got), (i, k)
