@@ -161,6 +161,27 @@ def _q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnow_overlap_pairs(_docs(spark, sf_dir), k=16, w=8, min_shared=3)
 
 
+def _q_streaming_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # custom stateful streaming operator (applyInPandasWithState):
+    # star-pairing near-dup candidates over a document stream; drained
+    # with availableNow. Genuinely non-SQL (sketches + state) ->
+    # rows-only; tests pin CC-equality with the batch star pairing.
+    import uuid
+
+    from cuda_selection_criteria_spark.streaming import (
+        run_available_now,
+        streaming_band_candidates,
+    )
+    from cuda_selection_criteria_spark.streaming.windows import read_event_stream
+
+    stream = read_event_stream(spark, f"{sf_dir}/documents.parquet").select(
+        F.col("doc_id").cast("string").alias("url"), "text"
+    )
+    cands = streaming_band_candidates(stream, _dedup_cfg(), state_ttl_ms=None)
+    out = run_available_now(cands, f"neardup_{uuid.uuid4().hex[:8]}")
+    return out.dropDuplicates(["id_a", "id_b"])
+
+
 def _q_events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     return (
@@ -195,6 +216,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_knn": _q_embedding_knn,
         "embedding_lsh_candidates": _q_embedding_lsh,
         "events_windowed": _q_events_windowed,
+        "streaming_neardup_candidates": _q_streaming_neardup,
         "lang_predict": _q_lang_predict,
         "quality_scores": _q_quality_scores,
         "token_counts_bpe": _q_token_counts_bpe,

@@ -110,6 +110,10 @@ def sketch_pages(
     text only).
     """
     src = pages.select("url", F.xxhash64(F.col("url")).alias("url_id"), "text")
+    if pages.isStreaming:
+        # streaming sources size their own micro-batch partitions; no
+        # partition probe (inputFiles/rdd are undefined on streams)
+        return src.mapInPandas(_sketch_batches(cfg), schema=sketch_schema(cfg))
     if min_partitions is None:
         min_partitions = pages.sparkSession.sparkContext.defaultParallelism
     # partition-count probe without df.rdd (a Python-RDD conversion is

@@ -11,5 +11,11 @@ these via foreachBatch for incremental near-dup refresh.
 
 from .windows import windowed_event_counts, run_available_now
 from .dedup import streaming_exact_dedup
+from .neardup import streaming_band_candidates
 
-__all__ = ["windowed_event_counts", "run_available_now", "streaming_exact_dedup"]
+__all__ = [
+    "windowed_event_counts",
+    "run_available_now",
+    "streaming_exact_dedup",
+    "streaming_band_candidates",
+]
