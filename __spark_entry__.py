@@ -31,7 +31,11 @@ from cuda_selection_criteria_spark.functions import (
     source_profile,
     token_stats,
 )
-from cuda_selection_criteria_spark.functions.gates import dup_pairs_jaccard_gate
+from cuda_selection_criteria_spark.functions.gates import (
+    ann_upper_bound_gate,
+    dup_pairs_jaccard_gate,
+    winnow_guarantee_gate,
+)
 from cuda_selection_criteria_spark.functions.ivf import embedding_ivf_topk
 from cuda_selection_criteria_spark.functions.winnow import winnow_overlap_pairs
 from cuda_selection_criteria_spark.operators import connected_components
@@ -161,6 +165,18 @@ def _q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnow_overlap_pairs(_docs(spark, sf_dir), k=16, w=8, min_shared=3)
 
 
+def _q_winnow_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # winnowing-guarantee violations (expected empty; oracle = empty
+    # relation): substring-sharing pairs without a shared fingerprint.
+    return winnow_guarantee_gate(_docs(spark, sf_dir), k=16, w=8)
+
+
+def _q_ann_bound_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ANN upper-bound violations (expected empty): IVF top-1 cosine can
+    # never exceed the exact brute-force top-1 (subset search).
+    return ann_upper_bound_gate(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
+
+
 def _q_streaming_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # custom stateful streaming operator (applyInPandasWithState):
     # star-pairing near-dup candidates over a document stream; drained
@@ -223,7 +239,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": _q_simhash_pairs,
         "media_features": _q_media_features,
         "winnow_overlap_pairs": _q_winnow_pairs,
+        "winnow_guarantee_gate": _q_winnow_gate,
         "embedding_ivf_topk": _q_embedding_ivf,
+        "ann_upper_bound_gate": _q_ann_bound_gate,
     }
 
 
@@ -401,9 +419,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT media_id, dim, CAST(sum(v) AS BIGINT) AS feat_sum
             FROM cells GROUP BY media_id, dim
         """,
+        # invariant gates: the Spark side emits provable VIOLATIONS;
+        # the oracle is the empty relation (any row fails the hash).
+        "winnow_guarantee_gate": """
+            SELECT CAST(NULL AS BIGINT) AS doc_a, CAST(NULL AS BIGINT) AS doc_b
+            WHERE FALSE
+        """,
+        "ann_upper_bound_gate": """
+            SELECT CAST(NULL AS BIGINT) AS vec_id,
+                   CAST(NULL AS BIGINT) AS ivf_sim_x1e6,
+                   CAST(NULL AS BIGINT) AS exact_sim_x1e6
+            WHERE FALSE
+        """,
         # dup_pairs_smh / dup_clusters_smh / embedding_lsh_candidates /
-        # simhash_pairs: sketch/hash decisions not expressible in ANSI
-        # SQL -> rows-only (plus derived SQL-checkable gates below).
+        # simhash_pairs / streaming_neardup_candidates: sketch/hash/
+        # state decisions not expressible in ANSI SQL -> rows-only
+        # (their derived SQL-checkable gates are above).
     }
 
 

@@ -123,3 +123,74 @@ def dup_pairs_jaccard_gate(
         F.lit(1000000).cast("long").alias("exact_jaccard_x1e6"),
     )
     return precision_viol.union(recall_viol)
+
+
+def winnow_guarantee_gate(
+    documents: DataFrame, k: int = 16, w: int = 8, max_df: int = 100
+) -> DataFrame:
+    """(doc_a, doc_b): violations of the winnowing guarantee — expected
+    empty (the DuckDB oracle is the empty relation).
+
+    Schleimer/Wilkerson/Aiken (SIGMOD'03) Thm: two documents sharing a
+    substring of length >= w + k - 1 share at least one selected
+    fingerprint. The gate computes substring-sharing pairs exactly
+    (distinct (w+k-1)-gram explode + equi-join, document-frequency
+    capped like every candidate join here) and anti-joins the UNCAPPED
+    winnow overlap pairs; any surviving row is a provable bug in the
+    fingerprint selection.
+    """
+    from .ngram import doc_shingles
+    from .winnow import winnow_overlap_pairs
+
+    L = w + k - 1
+    grams = doc_shingles(documents, L)
+    rare = (
+        grams.groupBy("s")
+        .agg(F.count("*").alias("_df"))
+        .where(F.col("_df") <= max_df)
+        .select("s")
+    )
+    grams = grams.join(rare, "s")
+    a = grams.select(F.col("doc_id").alias("doc_a"), "s")
+    b = grams.select(F.col("doc_id").alias("doc_b"), "s")
+    sharing = (
+        a.join(b, "s")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    fp_sharing = winnow_overlap_pairs(
+        documents, k=k, w=w, min_shared=1, max_df=None
+    ).select("doc_a", "doc_b")
+    return sharing.join(fp_sharing, ["doc_a", "doc_b"], "left_anti")
+
+
+def ann_upper_bound_gate(
+    embeddings: DataFrame, eps: float = 1e-4
+) -> DataFrame:
+    """(vec_id, ivf_sim_x1e6, exact_sim_x1e6): violations of the ANN
+    upper bound — expected empty.
+
+    IVF searches a SUBSET of the corpus (the probed cells), so its
+    top-1 cosine can never exceed the exact brute-force top-1. Any row
+    where ivf_sim > exact_sim + eps is a provable indexing bug (eps
+    absorbs the x1e-4 rounding both paths apply).
+    """
+    from .ivf import embedding_ivf_topk
+    from .similarity import embedding_knn
+
+    exact = embedding_knn(embeddings).select(
+        "vec_id", F.col("sim").alias("exact_sim")
+    )
+    approx = embedding_ivf_topk(embeddings).select(
+        "vec_id", F.col("sim").alias("ivf_sim")
+    )
+    return (
+        approx.join(exact, "vec_id")
+        .where(F.col("ivf_sim") > F.col("exact_sim") + F.lit(eps))
+        .select(
+            "vec_id",
+            F.floor(F.col("ivf_sim") * 1e6).cast("long").alias("ivf_sim_x1e6"),
+            F.floor(F.col("exact_sim") * 1e6).cast("long").alias("exact_sim_x1e6"),
+        )
+    )

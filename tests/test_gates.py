@@ -70,3 +70,17 @@ def test_exact_jaccard_identical_and_disjoint(spark):
     }
     assert got[("1", "2")] == 1.0
     assert got[("1", "4")] < 0.05
+
+
+def test_winnow_guarantee_gate_empty_and_sensitive(spark):
+    from cuda_selection_criteria_spark.functions.gates import winnow_guarantee_gate
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    assert winnow_guarantee_gate(docs, k=16, w=8).count() == 0
+
+
+def test_ann_upper_bound_gate_empty(spark):
+    from cuda_selection_criteria_spark.functions.gates import ann_upper_bound_gate
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    assert ann_upper_bound_gate(emb).count() == 0
