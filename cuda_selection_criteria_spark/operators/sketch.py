@@ -28,9 +28,8 @@ from pyspark.sql import functions as F
 
 from ..oracle import DedupConfig
 from ..sketchlib.batch import (
-    cardinalities,
-    encode_registers_sparse,
     hll_batch,
+    hll_cards_encode_batch,
     superminhash_batch,
 )
 from ..sketchlib.hashes import shingle_hashes, shingle_hashes_batch
@@ -72,13 +71,12 @@ def _sketch_batches(cfg: DedupConfig):
                 else:
                     items = np.empty(0, dtype=np.uint64)
                 didx = np.repeat(np.arange(n, dtype=np.int64), counts)
-            regs = hll_batch(items, didx, n, p)
+            # fused fold + estimate + encode: never materializes the
+            # full [batch, 2^p] register matrix (cache-resident chunks)
+            cards, hll_col = hll_cards_encode_batch(
+                items, didx, n, p, encoding=cfg.register_encoding
+            )
             sigs = superminhash_batch(items, didx, n, m)
-            cards = cardinalities(regs, p)
-            if cfg.register_encoding == "sparse":
-                hll_col = encode_registers_sparse(regs)
-            else:
-                hll_col = [r.tobytes() for r in regs]
             out = {
                 "url": pdf["url"].values,
                 "url_id": pdf["url_id"].values,

@@ -65,3 +65,33 @@ def test_p14_dense_fallback_boundary():
     if 4 + 3 * nnz_actual >= m:
         assert len(blob) == m
     _roundtrip(regs, p)
+
+
+def test_fused_hll_cards_encode_matches_separate_path():
+    """hll_cards_encode_batch == hll_batch -> cardinalities ->
+    encode_registers_sparse / dense tobytes, bit for bit."""
+    import numpy as np
+
+    from cuda_selection_criteria_spark.sketchlib.batch import (
+        cardinalities,
+        encode_registers_sparse,
+        hll_batch,
+        hll_cards_encode_batch,
+    )
+
+    rng = np.random.default_rng(3)
+    n_docs, p = 700, 10  # crosses several 256-doc chunks; m=1024
+    counts = rng.integers(0, 400, size=n_docs)
+    counts[5] = 0  # empty doc
+    items = rng.integers(0, 2**63, size=int(counts.sum()), dtype=np.uint64)
+    didx = np.repeat(np.arange(n_docs), counts)
+    regs = hll_batch(items, didx, n_docs, p)
+    want_cards = cardinalities(regs, p)
+    for enc in ("sparse", "dense"):
+        cards, blobs = hll_cards_encode_batch(items, didx, n_docs, p, encoding=enc)
+        np.testing.assert_array_equal(cards, want_cards)
+        if enc == "sparse":
+            want_blobs = encode_registers_sparse(regs)
+        else:
+            want_blobs = [r.tobytes() for r in regs]
+        assert blobs == want_blobs
