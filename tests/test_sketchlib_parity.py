@@ -166,3 +166,18 @@ def test_batch_shingling_bit_identical_to_per_doc():
             ref = np.sort(shingle_hashes(t, k))
             got = items[didx == i]
             assert np.array_equal(ref, got), (i, k)
+
+
+def test_batch_shingling_chunk_boundary_invariance():
+    """Identical output regardless of chunk_windows (doc-boundary
+    alignment must not leak into hashes or dedup)."""
+    import numpy as np
+
+    from cuda_selection_criteria_spark.sketchlib.hashes import shingle_hashes_batch
+
+    texts = [f"document {i} " + "abcdefghij" * (5 + i % 17) for i in range(120)]
+    base_items, base_didx = shingle_hashes_batch(texts, 16, chunk_windows=131072)
+    for cw in (64, 777, 4096):
+        items, didx = shingle_hashes_batch(texts, 16, chunk_windows=cw)
+        assert np.array_equal(items, base_items), cw
+        assert np.array_equal(didx, base_didx), cw
