@@ -239,13 +239,13 @@ run-level medians move only when most pairs do):
             for i, r in enumerate(history)
         ) + f"""
 Notes
-- Read of the history: EVERY run reaches >= 0.88 on at least one
-  adjacent pair — the engine scales whenever the host grants a stable
-  window; low pairs coincide with legs whose docs/sec collapses 2-3x
-  below the same level's best (host phase, not plan shape: all legs
-  produce identical dup_pairs). Raw-kernel 2->8-process scaling
-  outside Spark measures 0.87-0.94 in calm phases, bounding what any
-  harness can show here.
+- Read of the history: most runs reach >= 0.88 on at least one
+  adjacent pair (see table) — the engine scales whenever the host
+  grants a stable window; low pairs coincide with legs whose docs/sec
+  collapses 2-3x below the same level's best (host phase, not plan
+  shape: all legs produce identical dup_pairs). Raw-kernel
+  2->8-process scaling outside Spark measures 0.87-0.94 in calm
+  phases, bounding what any harness can show here.
 - Throughput metric is BASELINE.json's: docs/sec of the MinHash+LSH
   dedup. Clustering walls reported separately: each
   large-star/small-star round is a fixed scheduler round-trip at toy
