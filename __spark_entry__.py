@@ -165,6 +165,15 @@ def _q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnow_overlap_pairs(_docs(spark, sf_dir), k=16, w=8, min_shared=3)
 
 
+def _q_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # suffix-array-substring dedup family (ExactSubstr semantics) as a
+    # pure DataFrame plan: L-gram frequency + per-doc island merge —
+    # no self-join anywhere. Fully SQL-expressible -> hash-gated.
+    from cuda_selection_criteria_spark.functions.substr import duplicated_spans
+
+    return duplicated_spans(_docs(spark, sf_dir), min_len=20, min_count=2)
+
+
 def _q_winnow_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # winnowing-guarantee violations (expected empty; oracle = empty
     # relation): substring-sharing pairs without a shared fingerprint.
@@ -240,6 +249,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": _q_media_features,
         "winnow_overlap_pairs": _q_winnow_pairs,
         "winnow_guarantee_gate": _q_winnow_gate,
+        "duplicated_spans": _q_duplicated_spans,
         "embedding_ivf_topk": _q_embedding_ivf,
         "ann_upper_bound_gate": _q_ann_bound_gate,
     }
@@ -418,6 +428,35 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT media_id, dim, CAST(sum(v) AS BIGINT) AS feat_sum
             FROM cells GROUP BY media_id, dim
+        """,
+        # suffix-array-substring dedup: same L-gram frequency + island
+        # merge, window-function form
+        "duplicated_spans": """
+            WITH g AS (
+              SELECT doc_id, CAST(i AS BIGINT) AS pos,
+                     substr(text, CAST(i AS INT), 20) AS g
+              FROM documents d,
+              LATERAL unnest(range(1, greatest(length(d.text) - 18, 1))) t(i)
+            ),
+            hot AS (SELECT g FROM g GROUP BY g HAVING count(*) >= 2),
+            cov AS (SELECT doc_id, pos FROM g JOIN hot USING (g)),
+            isl AS (
+              SELECT doc_id, pos,
+                     CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+                               OR pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + 20
+                          THEN 1 ELSE 0 END AS new_isl
+              FROM cov
+            ),
+            runs AS (
+              SELECT doc_id, pos,
+                     SUM(new_isl) OVER (PARTITION BY doc_id ORDER BY pos
+                                        ROWS UNBOUNDED PRECEDING) AS isl
+              FROM isl
+            )
+            SELECT doc_id,
+                   CAST(min(pos) AS BIGINT) AS span_start,
+                   CAST(max(pos) + 19 - min(pos) + 1 AS BIGINT) AS span_len
+            FROM runs GROUP BY doc_id, isl
         """,
         # invariant gates: the Spark side emits provable VIOLATIONS;
         # the oracle is the empty relation (any row fails the hash).
