@@ -33,7 +33,10 @@ from cuda_selection_criteria_spark.functions import (
 )
 from cuda_selection_criteria_spark.functions.gates import (
     ann_upper_bound_gate,
+    cc_diff_gate,
     dup_pairs_jaccard_gate,
+    lsh_recall_gate,
+    simhash_recall_gate,
     winnow_guarantee_gate,
 )
 from cuda_selection_criteria_spark.functions.ivf import embedding_ivf_topk
@@ -169,9 +172,12 @@ def _q_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     # suffix-array-substring dedup family (ExactSubstr semantics) as a
     # pure DataFrame plan: L-gram frequency + per-doc island merge —
     # no self-join anywhere. Fully SQL-expressible -> hash-gated.
+    # key="gram" here for bit-exact DuckDB parity; the function's
+    # default is key="hash" (8-byte group keys — the scale path; both
+    # variants pinned equal in tests/test_substr.py).
     from cuda_selection_criteria_spark.functions.substr import duplicated_spans
 
-    return duplicated_spans(_docs(spark, sf_dir), min_len=20, min_count=2)
+    return duplicated_spans(_docs(spark, sf_dir), min_len=20, min_count=2, key="gram")
 
 
 def _q_winnow_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -205,6 +211,52 @@ def _q_streaming_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     cands = streaming_band_candidates(stream, _dedup_cfg(), state_ttl_ms=None)
     out = run_available_now(cands, f"neardup_{uuid.uuid4().hex[:8]}")
     return out.dropDuplicates(["id_a", "id_b"])
+
+
+def _q_simhash_recall_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # SimHash recall violations (expected empty; oracle = empty
+    # relation): identical-token-multiset doc pairs MUST share a
+    # Hamming-0 fingerprint, hence appear in simhash_pairs. Gives the
+    # non-SQL simhash_pairs query a DuckDB-checkable hash gate.
+    return simhash_recall_gate(_docs(spark, sf_dir), max_hamming=3)
+
+
+def _q_lsh_recall_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # hyperplane-LSH recall violations (expected empty): identical
+    # non-zero embedding vectors share every table's bucket, so they
+    # must land in the same connected component of the candidate graph
+    # (component membership — robust to the flood-mode star pairing).
+    return lsh_recall_gate(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
+
+
+def _q_streaming_batch_cc_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # streaming-vs-batch differential gate (expected empty): connected
+    # components of the stateful streaming candidate stream must equal
+    # the batch star pairing's (the invariant tests pin at small scale,
+    # here hash-gated by the driver at sf0.01). Both generators are
+    # non-SQL; their DIFF is exactly checkable — the
+    # run_comparison_experiment.sh:36-53 discipline.
+    import uuid
+
+    from cuda_selection_criteria_spark.operators import sketch_pages
+    from cuda_selection_criteria_spark.operators.candidates import candidate_pairs
+    from cuda_selection_criteria_spark.streaming import (
+        run_available_now,
+        streaming_band_candidates,
+    )
+    from cuda_selection_criteria_spark.streaming.windows import read_event_stream
+
+    cfg = _dedup_cfg()
+    stream = read_event_stream(spark, f"{sf_dir}/documents.parquet").select(
+        F.col("doc_id").cast("string").alias("url"), "text"
+    )
+    cands = streaming_band_candidates(stream, cfg, state_ttl_ms=None)
+    stream_pairs = run_available_now(
+        cands, f"neardup_gate_{uuid.uuid4().hex[:8]}"
+    ).dropDuplicates(["id_a", "id_b"])
+    sk = sketch_pages(_docs_as_pages(spark, sf_dir), cfg)
+    batch_pairs = candidate_pairs(sk, cfg, bucket_pairing="star")
+    return cc_diff_gate(stream_pairs, batch_pairs)
 
 
 def _q_events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -252,6 +304,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "duplicated_spans": _q_duplicated_spans,
         "embedding_ivf_topk": _q_embedding_ivf,
         "ann_upper_bound_gate": _q_ann_bound_gate,
+        "simhash_recall_gate": _q_simhash_recall_gate,
+        "lsh_recall_gate": _q_lsh_recall_gate,
+        "streaming_batch_cc_gate": _q_streaming_batch_cc_gate,
     }
 
 
@@ -408,15 +463,20 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         # media table = pure function of documents (media_from_documents):
-        # payload bytes are the UTF-8 text (ASCII corpus: ord == byte),
-        # plane[i,j] = payload[(i*131 + j*31) % len], dims from doc_id.
-        # feat_sum[d] = sum of plane bytes at flat index == d (mod 16).
+        # payload bytes are the UTF-8 text, plane[i,j] = payload[(i*131 +
+        # j*31) % len], dims from doc_id. feat_sum[d] = sum of plane
+        # bytes at flat index == d (mod 16). The table definition
+        # restricts to NON-EMPTY ASCII docs (strlen == length) on BOTH
+        # sides: ord(substr()) indexes characters while the decoder
+        # indexes bytes — they only agree on ASCII — and % n is
+        # undefined at n=0.
         "media_features": """
             WITH m AS (
               SELECT doc_id AS media_id, text,
                      4 + (doc_id % 13) AS w, 4 + (doc_id % 11) AS h,
                      length(text) AS n
               FROM documents
+              WHERE length(text) > 0 AND strlen(text) = length(text)
             ),
             cells AS (
               SELECT media_id,
@@ -468,6 +528,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(NULL AS BIGINT) AS vec_id,
                    CAST(NULL AS BIGINT) AS ivf_sim_x1e6,
                    CAST(NULL AS BIGINT) AS exact_sim_x1e6
+            WHERE FALSE
+        """,
+        "simhash_recall_gate": """
+            SELECT CAST(NULL AS BIGINT) AS doc_a, CAST(NULL AS BIGINT) AS doc_b
+            WHERE FALSE
+        """,
+        "lsh_recall_gate": """
+            SELECT CAST(NULL AS BIGINT) AS vec_a, CAST(NULL AS BIGINT) AS vec_b
+            WHERE FALSE
+        """,
+        "streaming_batch_cc_gate": """
+            SELECT CAST(NULL AS BIGINT) AS node,
+                   CAST(NULL AS BIGINT) AS cluster_a,
+                   CAST(NULL AS BIGINT) AS cluster_b
             WHERE FALSE
         """,
         # dup_pairs_smh / dup_clusters_smh / embedding_lsh_candidates /

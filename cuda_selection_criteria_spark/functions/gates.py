@@ -77,7 +77,8 @@ def dup_pairs_jaccard_gate(
     documents: DataFrame,
     dup_pairs: DataFrame,
     cfg: DedupConfig,
-    precision_eps: float = 0.08,
+    precision_eps: float | None = None,
+    precision_z: float = 10.0,
 ) -> DataFrame:
     """(url_a, url_b, kind, exact_jaccard_x1e6): invariant VIOLATIONS.
 
@@ -85,7 +86,20 @@ def dup_pairs_jaccard_gate(
     kind='recall': byte-identical document pair missing from dup_pairs.
     Expected: empty. Jaccard is emitted as x1e6 fixed-point so the
     (empty) relation hashes identically across engines.
+
+    ``precision_eps`` is a statistical CONFIDENCE BOUND, not a hard
+    invariant: the HLL estimator's relative error is ~1.04/sqrt(2^p)
+    per cardinality (Ertl MLE does slightly better), so by default eps
+    is derived from the CONFIGURED precision as ``precision_z`` sigma
+    (z=10 -> eps=0.081 at p=14; measured corpus minimum 0.907 vs
+    tau-eps=0.819 — 11x headroom). On very large corpora more emitted
+    pairs sample the estimator tails; widen ``precision_z`` (or lower
+    tau's share of the band) rather than treating a tail event as a
+    pipeline bug. Exact-duplicate recall (kind='recall') IS a hard
+    invariant at any scale.
     """
+    if precision_eps is None:
+        precision_eps = precision_z * 1.04 / float((1 << cfg.hll_p) ** 0.5)
     exact = exact_jaccard_for_pairs(
         dup_pairs.select("url_a", "url_b"), documents, cfg.shingle_k
     )
@@ -135,12 +149,12 @@ def winnow_guarantee_gate(
     substring of length >= w + k - 1 share at least one selected
     fingerprint. The gate computes substring-sharing pairs exactly
     (distinct (w+k-1)-gram explode + equi-join, document-frequency
-    capped like every candidate join here) and anti-joins the UNCAPPED
-    winnow overlap pairs; any surviving row is a provable bug in the
-    fingerprint selection.
+    capped like every candidate join here), then checks each pair for
+    a shared fingerprint via a pair-anchored join (no fp self-join —
+    see below); any surviving row is a provable bug in the fingerprint
+    selection.
     """
     from .ngram import doc_shingles
-    from .winnow import winnow_overlap_pairs
 
     L = w + k - 1
     grams = doc_shingles(documents, L)
@@ -159,10 +173,141 @@ def winnow_guarantee_gate(
         .select("doc_a", "doc_b")
         .distinct()
     )
-    fp_sharing = winnow_overlap_pairs(
-        documents, k=k, w=w, min_shared=1, max_df=None
-    ).select("doc_a", "doc_b")
+    # Bounded check: the guarantee must be verified WITHOUT the max_df
+    # cap on fingerprints (the cap would create false violations), but
+    # an uncapped fp self-join reintroduces the f^2 boilerplate blowup.
+    # Instead fingerprints are computed only for the pair PARTICIPANTS
+    # (semi-join, like exact_jaccard_for_pairs) and joined TO THE PAIRS
+    # on (doc, fp) — cost O(|sharing| * fps_per_doc), never O(f^2).
+    from .winnow import winnow_fingerprints
+
+    participants = (
+        sharing.select(F.col("doc_a").alias("doc_id"))
+        .union(sharing.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    fps = winnow_fingerprints(
+        documents.join(participants, "doc_id", "left_semi"), k=k, w=w
+    )
+    fp_sharing = (
+        sharing.join(fps.select(F.col("doc_id").alias("doc_a"), "fp"), "doc_a")
+        .join(fps.select(F.col("doc_id").alias("doc_b"), "fp"), ["doc_b", "fp"])
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
     return sharing.join(fp_sharing, ["doc_a", "doc_b"], "left_anti")
+
+
+def simhash_recall_gate(
+    documents: DataFrame, max_hamming: int = 3
+) -> DataFrame:
+    """(doc_a, doc_b): SimHash recall violations — expected empty.
+
+    Hard invariant: two documents with the SAME whitespace-token
+    multiset have identical bit votes, hence identical 64-bit SimHash
+    (Hamming 0), hence every fingerprint block equal — so the pair MUST
+    appear in ``simhash_pairs``. The identical-multiset relation is
+    pure SQL (sort_array of the token split), which makes the sketch
+    path's recall DuckDB-checkable even though the fingerprint itself
+    is not (the empty-relation oracle discipline of
+    /root/reference/run_comparison_experiment.sh:36-53).
+
+    Like the jaccard gate's recall arm, each identity group contributes
+    (canonical x member) star pairs — O(group), not O(group^2).
+    """
+    from .simhash import simhash_pairs
+
+    pairs = simhash_pairs(documents, max_hamming=max_hamming)
+    d = documents.select(
+        "doc_id", F.sort_array(F.split(F.col("text"), " +")).alias("toks")
+    )
+    grp = d.groupBy("toks").agg(
+        F.min("doc_id").alias("canon"), F.collect_list("doc_id").alias("members")
+    )
+    ident = (
+        grp.select("canon", F.explode("members").alias("other"))
+        .where(F.col("canon") != F.col("other"))
+        .select(
+            F.least("canon", "other").alias("doc_a"),
+            F.greatest("canon", "other").alias("doc_b"),
+        )
+    )
+    return ident.join(pairs.select("doc_a", "doc_b"), ["doc_a", "doc_b"], "left_anti")
+
+
+def lsh_recall_gate(embeddings: DataFrame, **lsh_kwargs) -> DataFrame:
+    """(vec_a, vec_b): hyperplane-LSH recall violations — expected empty.
+
+    Hard invariant: two IDENTICAL (non-zero) embedding vectors produce
+    identical sign bits under every hyperplane table, so they share a
+    bucket in every table and must end up in the same connected
+    component of ``embedding_lsh_candidates`` (component membership,
+    not direct pair presence, so the invariant survives the flood-mode
+    star pairing inside oversized buckets).
+    """
+    from ..operators.cluster import connected_components
+    from .similarity import embedding_lsh_candidates, with_norm
+
+    pairs = embedding_lsh_candidates(embeddings, **lsh_kwargs)
+    cc = connected_components(pairs, a_col="id_a", b_col="id_b")
+    e = with_norm(embeddings).where(F.col("_norm") > 0).select("vec_id", "embedding")
+    grp = e.groupBy("embedding").agg(
+        F.min("vec_id").alias("canon"), F.collect_list("vec_id").alias("members")
+    )
+    ident = (
+        grp.select("canon", F.explode("members").alias("other"))
+        .where(F.col("canon") != F.col("other"))
+        .select(
+            F.least("canon", "other").alias("vec_a"),
+            F.greatest("canon", "other").alias("vec_b"),
+        )
+    )
+    cc_a = cc.select(F.col("node").alias("vec_a"), F.col("cluster_id").alias("_ca"))
+    cc_b = cc.select(F.col("node").alias("vec_b"), F.col("cluster_id").alias("_cb"))
+    return (
+        ident.join(cc_a, "vec_a", "left")
+        .join(cc_b, "vec_b", "left")
+        .where(
+            F.col("_ca").isNull()
+            | F.col("_cb").isNull()
+            | (F.col("_ca") != F.col("_cb"))
+        )
+        .select("vec_a", "vec_b")
+    )
+
+
+def cc_diff_gate(
+    pairs_a: DataFrame,
+    pairs_b: DataFrame,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+) -> DataFrame:
+    """(node, cluster_a, cluster_b): symmetric difference of the two
+    edge sets' connected-component assignments — expected empty when
+    the two candidate generators induce the same clustering.
+
+    cluster_id is the component MINIMUM on both sides, so equal
+    partitions imply identical assignments; a full outer join exposes
+    nodes present on one side only (cluster_x NULL) as well as nodes
+    assigned to different components.
+    """
+    from ..operators.cluster import connected_components
+
+    cc_a = connected_components(pairs_a, a_col=a_col, b_col=b_col).select(
+        "node", F.col("cluster_id").alias("cluster_a")
+    )
+    cc_b = connected_components(pairs_b, a_col=a_col, b_col=b_col).select(
+        "node", F.col("cluster_id").alias("cluster_b")
+    )
+    return (
+        cc_a.join(cc_b, "node", "full_outer")
+        .where(
+            F.col("cluster_a").isNull()
+            | F.col("cluster_b").isNull()
+            | (F.col("cluster_a") != F.col("cluster_b"))
+        )
+        .select("node", "cluster_a", "cluster_b")
+    )
 
 
 def ann_upper_bound_gate(

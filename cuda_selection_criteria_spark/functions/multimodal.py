@@ -88,7 +88,17 @@ def media_from_documents(documents: DataFrame) -> DataFrame:
     UTF-8 text bytes, dims a pure function of doc_id. Because every
     column is derivable from the documents parquet, a DuckDB oracle can
     reproduce any integer feature of the decoded plane — giving the
-    multimodal plumbing a hard hash-checked gate."""
+    multimodal plumbing a hard hash-checked gate.
+
+    Restricted to NON-EMPTY ASCII documents (octet_length == length):
+    the oracle indexes characters (ord(substr(...))) while the decoder
+    indexes payload BYTES, which only agree byte-for-byte on ASCII, and
+    the plane's ``% len`` addressing is undefined on an empty payload.
+    The filter is part of the table definition and mirrored in the
+    DuckDB oracle (__spark_entry__.oracle_sql media CTE)."""
+    documents = documents.where(
+        (F.length("text") > 0) & (F.octet_length("text") == F.length("text"))
+    )
     return documents.select(
         F.col("doc_id").alias("media_id"),
         F.encode(F.col("text"), "UTF-8").alias("payload"),

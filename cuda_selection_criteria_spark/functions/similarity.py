@@ -30,7 +30,10 @@ def with_norm(embeddings: DataFrame, col: str = "embedding") -> DataFrame:
 
 
 def embedding_knn(
-    embeddings: DataFrame, round_digits: int = 4, max_broadcast_rows: int = 200_000
+    embeddings: DataFrame,
+    round_digits: int = 4,
+    max_broadcast_rows: int = 200_000,
+    approx_fallback: bool = False,
 ) -> DataFrame:
     """(vec_id, neighbor_id, sim) — cosine top-1 per vector.
 
@@ -43,24 +46,32 @@ def embedding_knn(
     oracle): sims rounded so summation-order noise can't flip the hash
     compare; ties broken by smallest neighbor id.
 
-    The driver-side collect is gated: inputs above ``max_broadcast_rows``
-    (~100 MB of float64 at dim 64 — past any sane broadcast) route to
-    the IVF approximate path automatically instead of OOMing the
-    driver; exact brute force at that scale is the wrong tool anyway.
+    The driver-side collect is gated at ``max_broadcast_rows`` (~100 MB
+    of float64 at dim 64 — past any sane broadcast). Oversized inputs
+    RAISE by default — this function's contract is the EXACT baseline
+    (ann_upper_bound_gate depends on it); pass ``approx_fallback=True``
+    to route oversized inputs to the IVF approximate path instead
+    (exact brute force at that scale is the wrong tool anyway). The
+    size probe is a ``limit(max+1).collect()`` folded into the single
+    collect job — no separate count() pass.
     """
     from collections.abc import Iterator
 
     import pandas as pd
 
-    n_rows = embeddings.count()
-    if n_rows > max_broadcast_rows:
+    rows = embeddings.select("vec_id", "embedding").limit(max_broadcast_rows + 1).collect()
+    if len(rows) > max_broadcast_rows:
+        if not approx_fallback:
+            raise ValueError(
+                f"embedding_knn is the exact brute-force baseline and refuses "
+                f"inputs above max_broadcast_rows={max_broadcast_rows}; pass "
+                f"approx_fallback=True to use the IVF approximate path"
+            )
         from .ivf import embedding_ivf_topk
 
         return embedding_ivf_topk(embeddings).select(
             "vec_id", "neighbor_id", "sim"
         )
-
-    rows = embeddings.select("vec_id", "embedding").collect()
     ids = np.array([r.vec_id for r in rows], dtype=np.int64)
     V = np.array([np.asarray(r.embedding, dtype=np.float64) for r in rows])
     norms = np.sqrt((V * V).sum(axis=1))
@@ -101,13 +112,23 @@ def embedding_lsh_candidates(
     n_tables: int = 4,
     seed: int = 7,
     dim: int = 64,
+    max_bucket: int = 1000,
 ) -> DataFrame:
-    """(id_a, id_b, table_id): candidate pairs sharing a SimHash bucket.
+    """(id_a, id_b): candidate pairs sharing a SimHash bucket.
 
     Random hyperplanes are derived deterministically from ``seed`` and
     broadcast as literals inside the plan (tiny: n_tables*n_planes*dim
     doubles). Bucket key = sign-bit pack — the embedding analogue of
     the SMH band join, same skew/scale properties.
+
+    ``max_bucket`` is the flood guard: a hot bucket of f near-identical
+    embeddings would emit f^2 all-pairs join rows. Buckets larger than
+    ``max_bucket`` switch to STAR pairing (every member pairs with the
+    bucket-minimum vec_id — O(f) rows, same connected components), the
+    same flood answer the SMH band join uses
+    (operators/candidates.py bucket_pairing='star'). Normal buckets are
+    untouched, so output is unchanged on non-flood corpora; pass
+    ``max_bucket=None`` for unconditional all-pairs.
     """
     from collections.abc import Iterator
 
@@ -146,14 +167,31 @@ def embedding_lsh_candidates(
     buckets = embeddings.select("vec_id", "embedding").mapInPandas(
         fn, schema="vec_id long, table_id int, bucket long"
     )
-    a = buckets.select("table_id", "bucket", F.col("vec_id").alias("id_a"))
-    b = buckets.select("table_id", "bucket", F.col("vec_id").alias("id_b"))
-    return (
+    if max_bucket is not None:
+        # hot buckets (few by construction) broadcast; the flood side
+        # pairs via a window min — no self-join touches an uncapped key
+        sizes = buckets.groupBy("table_id", "bucket").agg(F.count("*").alias("_n"))
+        hot = sizes.where(F.col("_n") > max_bucket).select("table_id", "bucket")
+        normal = buckets.join(F.broadcast(hot), ["table_id", "bucket"], "left_anti")
+        flood = buckets.join(F.broadcast(hot), ["table_id", "bucket"], "left_semi")
+        w = Window.partitionBy("table_id", "bucket")
+        star = (
+            flood.withColumn("_min", F.min("vec_id").over(w))
+            .where(F.col("vec_id") != F.col("_min"))
+            .select(
+                F.least("vec_id", "_min").alias("id_a"),
+                F.greatest("vec_id", "_min").alias("id_b"),
+            )
+        )
+    else:
+        normal, star = buckets, None
+    a = normal.select("table_id", "bucket", F.col("vec_id").alias("id_a"))
+    b = normal.select("table_id", "bucket", F.col("vec_id").alias("id_b"))
+    pairs = (
         a.join(b, ["table_id", "bucket"])
         .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "table_id")
-        .dropDuplicates(["id_a", "id_b"])
-        .withColumn("table_id", F.lit(0))  # canonical: first table wins after dedup
-        .drop("table_id")
         .select("id_a", "id_b")
     )
+    if star is not None:
+        pairs = pairs.union(star)
+    return pairs.dropDuplicates(["id_a", "id_b"])

@@ -21,11 +21,16 @@ finds those windows; the distributed plan needs none of it:
 Every step is built-in DataFrame machinery; the whole operator is
 ANSI-SQL-expressible, so the driver hash-checks it against DuckDB.
 
-Scale knob: ``key="hash"`` groups on xxhash64(gram) instead of the
-gram string — the shuffle carries 8 bytes instead of L characters per
-position. A 2^-64 collision can only mark a non-duplicated window as
-duplicated (span coverage inflates by <= L bytes per collision); for
-byte-exact span reporting keep ``key="gram"`` (default, oracle-parity).
+Scale knob: ``key="hash"`` (the DEFAULT — the 100 TB path) groups on
+xxhash64(gram) instead of the gram string, so the frequency shuffle
+carries 8 bytes instead of L characters per position (L=20 chars would
+be a 20x text amplification through the groupBy at corpus scale). A
+2^-64 collision can only mark a non-duplicated window as duplicated
+(span coverage inflates by <= L bytes per collision, expected
+corpus-wide inflation ~positions^2 / 2^64 windows — zero in practice);
+``key="gram"`` keeps the raw string as the group key for bit-exact
+oracle parity (the driver's DuckDB hash gate runs this variant; both
+variants are pinned equal on the test corpora).
 """
 
 from __future__ import annotations
@@ -38,7 +43,7 @@ def duplicated_spans(
     documents: DataFrame,
     min_len: int = 20,
     min_count: int = 2,
-    key: str = "gram",
+    key: str = "hash",
 ) -> DataFrame:
     """(doc_id, span_start, span_len): maximal runs of text covered by
     length-``min_len`` windows occurring >= ``min_count`` times

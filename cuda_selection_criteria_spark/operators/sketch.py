@@ -114,11 +114,12 @@ def sketch_pages(
         return src.mapInPandas(_sketch_batches(cfg), schema=sketch_schema(cfg))
     if min_partitions is None:
         min_partitions = pages.sparkSession.sparkContext.defaultParallelism
-    # partition-count probe without df.rdd (a Python-RDD conversion is
-    # planned on every access): file inputs expose their split count via
-    # inputFiles(); only non-file inputs (in-memory test DFs) fall back
-    # to the rdd path.
-    n_parts = len(pages.inputFiles()) or src.rdd.getNumPartitions()
+    # partition-count probe: the PLANNED partitions, not the file count
+    # — Spark packs many small files into fewer splits (file count would
+    # overstate parallelism and skip a needed repartition) and splits
+    # large files into more. One .rdd access per sketch_pages call is
+    # plan-time only (no job); the RDD conversion is never executed.
+    n_parts = src.rdd.getNumPartitions()
     if n_parts < min_partitions:
         src = src.repartition(min_partitions)
     return src.mapInPandas(_sketch_batches(cfg), schema=sketch_schema(cfg))

@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame
@@ -45,33 +46,41 @@ def _pair_fn(tau: float, ttl_ms: int | None):
             rep_id, rep_card = state.get
         else:
             rep_id, rep_card = None, None
-        out_a, out_b, out_ca, out_cb = [], [], [], []
-        for pdf in pdfs:
-            if len(pdf) == 0:
-                continue
-            # deterministic within a micro-batch: smallest url_id first
-            pdf = pdf.sort_values("url_id")
-            for uid, card in zip(pdf["url_id"], pdf["card_i"]):
-                uid, card = int(uid), int(card)
-                if rep_id is None:
-                    rep_id, rep_card = uid, card
-                    continue
-                if uid == rep_id:
-                    continue
-                lo, hi = (card, rep_card) if card <= rep_card else (rep_card, card)
-                if hi > 0 and lo >= tau * hi:  # CB prune (criteria_sketch.hpp:45-49)
-                    a, b = (uid, rep_id) if uid < rep_id else (rep_id, uid)
-                    ca, cb = (card, rep_card) if uid < rep_id else (rep_card, card)
-                    out_a.append(a)
-                    out_b.append(b)
-                    out_ca.append(ca)
-                    out_cb.append(cb)
+        parts = [pdf for pdf in pdfs if len(pdf)]
+        if not parts:
+            state.update((rep_id, rep_card))
+            if ttl_ms is not None:
+                state.setTimeoutDuration(ttl_ms)
+            return
+        batch = pd.concat(parts) if len(parts) > 1 else parts[0]
+        # deterministic within a micro-batch: smallest url_id first;
+        # the representative is fixed after the first arrival, so the
+        # whole batch CB-prunes in one vectorized numpy pass (no
+        # per-row Python — same discipline as the batch kernels).
+        order = np.argsort(batch["url_id"].values, kind="stable")
+        uids = batch["url_id"].values[order].astype(np.int64)
+        cards = batch["card_i"].values[order].astype(np.int64)
+        if rep_id is None:
+            rep_id, rep_card = int(uids[0]), int(cards[0])
+            uids, cards = uids[1:], cards[1:]
+        mask = uids != rep_id
+        uids, cards = uids[mask], cards[mask]
+        lo = np.minimum(cards, rep_card)
+        hi = np.maximum(cards, rep_card)
+        keep = (hi > 0) & (lo >= tau * hi)  # CB prune (criteria_sketch.hpp:45-49)
+        uids, cards = uids[keep], cards[keep]
         state.update((rep_id, rep_card))
         if ttl_ms is not None:
             state.setTimeoutDuration(ttl_ms)
-        if out_a:
+        if uids.size:
+            first = uids < rep_id
             yield pd.DataFrame(
-                {"id_a": out_a, "id_b": out_b, "card_a": out_ca, "card_b": out_cb}
+                {
+                    "id_a": np.where(first, uids, rep_id),
+                    "id_b": np.where(first, rep_id, uids),
+                    "card_a": np.where(first, cards, rep_card),
+                    "card_b": np.where(first, rep_card, cards),
+                }
             )
 
     return fn
