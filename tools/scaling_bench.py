@@ -167,16 +167,20 @@ def main() -> None:
 def write_report() -> None:
     """Regenerate BENCH/BASELINE.md from the full run history.
 
-    Headline run = highest MEDIAN adjacent-pair efficiency: the median
-    is robust to single-pair drift in EITHER direction (a pair whose N
-    leg hits a depressed phase reads spuriously high — one recorded
-    pair measured 1.159, which is physically impossible and reported as
-    the artifact it is), while a whole-run median only moves if most of
-    the run's pairs do.
+    Headline run = the LATEST recorded run (at its recorded git rev) —
+    NOT the best of history. Selecting the best-median run post-hoc
+    overstates what the current code reproduces (round-2 verdict);
+    the latest-run rule means the headline is always re-earned at HEAD.
+    The run's MEDIAN adjacent-pair efficiency is the headline number:
+    the median is robust to single-pair drift in EITHER direction (a
+    pair whose N leg hits a depressed phase reads spuriously high — one
+    recorded pair measured 1.159, which is physically impossible and
+    reported as the artifact it is), while a run median only moves if
+    most of the run's pairs do.
     """
     hist_path = "/root/repo/BENCH/scaling_runs.jsonl"
     history = [json.loads(l) for l in open(hist_path) if l.strip()]
-    best_run = max(history, key=lambda r: r["eff_median"])
+    best_run = history[-1]
     legs = best_run["legs"]
     n_lo, n_hi = best_run["n_lo"], best_run["n_hi"]
     eff_best = best_run["eff_best"]
@@ -211,6 +215,10 @@ kernel), understating true resource scaling.
 Legs alternate N,4N x{N_REPEATS}; efficiency per adjacent pair; all
 runs produced identical dup_pairs: {same}.
 
+**Headline rule: the LATEST recorded run, at its recorded git rev
+(run {len(history) - 1}, rev {best_run['rev']}) — never a post-hoc
+best-of-history selection.** Full history below; nothing discarded.
+
 | leg | parallelism | dedup wall_s | docs/sec (MinHash+LSH) | clustering wall_s |
 |---|---|---|---|---|
 """)
@@ -222,15 +230,15 @@ runs produced identical dup_pairs: {same}.
 Best per level: N={N_LO}: {lo_best['docs_per_sec']} docs/s; 4N={N_HI}: {hi_best['docs_per_sec']} docs/s.
 
 **Scaling efficiency = {eff_med:.3f} (median adjacent N->4N pair of the
-headline run; best pair {eff_best:.3f}; target >= 0.8 per BASELINE.json
-`metric`).**
+LATEST run, rev {best_run['rev']}; best pair {eff_best:.3f}; target
+>= 0.8 per BASELINE.json `metric`).**
 
 All recorded runs (BENCH/scaling_runs.jsonl — full history, nothing
-discarded). The headline run is the one with the highest MEDIAN:
-single pairs drift in both directions on this host (one recorded pair
-reads 1.159 — physically impossible, an N-leg that landed in a
-depressed hypervisor phase — so per-pair maxima are not trusted;
-run-level medians move only when most pairs do):
+discarded). The run-level MEDIAN is the comparable number: single
+pairs drift in both directions on this host (one recorded pair reads
+1.159 — physically impossible, an N-leg that landed in a depressed
+hypervisor phase — so per-pair maxima are not trusted; run-level
+medians move only when most pairs do):
 
 | run | git rev | adjacent-pair efficiencies | best | median |
 |---|---|---|---|---|
