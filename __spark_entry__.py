@@ -38,6 +38,7 @@ from cuda_selection_criteria_spark.functions.gates import (
     lsh_recall_gate,
     simhash_recall_gate,
     winnow_guarantee_gate,
+    winnow_precision_gate,
 )
 from cuda_selection_criteria_spark.functions.ivf import embedding_ivf_topk
 from cuda_selection_criteria_spark.functions.winnow import winnow_overlap_pairs
@@ -213,6 +214,13 @@ def _q_streaming_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.dropDuplicates(["id_a", "id_b"])
 
 
+def _q_winnow_precision_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # winnowing precision violations (expected empty): every emitted
+    # winnow pair must share a real k-gram substring (fingerprints hash
+    # concrete grams) — the precision complement of the guarantee gate.
+    return winnow_precision_gate(_docs(spark, sf_dir), k=16, w=8, min_shared=3)
+
+
 def _q_simhash_recall_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # SimHash recall violations (expected empty; oracle = empty
     # relation): identical-token-multiset doc pairs MUST share a
@@ -307,6 +315,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_recall_gate": _q_simhash_recall_gate,
         "lsh_recall_gate": _q_lsh_recall_gate,
         "streaming_batch_cc_gate": _q_streaming_batch_cc_gate,
+        "winnow_precision_gate": _q_winnow_precision_gate,
     }
 
 
@@ -531,6 +540,10 @@ def oracle_sql() -> dict[str, str]:
             WHERE FALSE
         """,
         "simhash_recall_gate": """
+            SELECT CAST(NULL AS BIGINT) AS doc_a, CAST(NULL AS BIGINT) AS doc_b
+            WHERE FALSE
+        """,
+        "winnow_precision_gate": """
             SELECT CAST(NULL AS BIGINT) AS doc_a, CAST(NULL AS BIGINT) AS doc_b
             WHERE FALSE
         """,

@@ -198,6 +198,47 @@ def winnow_guarantee_gate(
     return sharing.join(fp_sharing, ["doc_a", "doc_b"], "left_anti")
 
 
+def winnow_precision_gate(
+    documents: DataFrame,
+    k: int = 16,
+    w: int = 8,
+    min_shared: int = 3,
+    max_df: int | None = 100,
+) -> DataFrame:
+    """(doc_a, doc_b): winnowing PRECISION violations — expected empty.
+
+    Complements winnow_guarantee_gate (recall): every pair emitted by
+    ``winnow_overlap_pairs`` shares >= min_shared fingerprint VALUES,
+    and a fingerprint is a hash of a concrete k-gram — so the two
+    documents must share at least one identical k-gram substring
+    (up to a 2^-64 hash collision, which this gate would correctly
+    surface). Checked pair-anchored: k-grams are computed only for pair
+    participants and joined to the pairs on (doc, gram) — O(|pairs| *
+    doc_len), never a gram self-join.
+    """
+    from .ngram import doc_shingles
+    from .winnow import winnow_overlap_pairs
+
+    pairs = winnow_overlap_pairs(
+        documents, k=k, w=w, min_shared=min_shared, max_df=max_df
+    ).select("doc_a", "doc_b")
+    participants = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .union(pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    grams = doc_shingles(
+        documents.join(participants, "doc_id", "left_semi"), k
+    )
+    share_gram = (
+        pairs.join(grams.select(F.col("doc_id").alias("doc_a"), "s"), "doc_a")
+        .join(grams.select(F.col("doc_id").alias("doc_b"), "s"), ["doc_b", "s"])
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    return pairs.join(share_gram, ["doc_a", "doc_b"], "left_anti")
+
+
 def simhash_recall_gate(
     documents: DataFrame, max_hamming: int = 3
 ) -> DataFrame:

@@ -231,3 +231,28 @@ def test_media_from_documents_excludes_empty_and_non_ascii(spark):
     )
     ids = {r.media_id for r in media_from_documents(docs).collect()}
     assert ids == {1, 4}
+
+
+# ------------------------------------------------ winnow precision
+
+def test_winnow_precision_gate_empty_and_sensitive(spark, monkeypatch):
+    from cuda_selection_criteria_spark.functions import gates
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    assert gates.winnow_precision_gate(docs, k=16, w=8, min_shared=3).count() == 0
+
+    # inject a bogus pair (two unrelated docs) -> gate must flag it
+    import cuda_selection_criteria_spark.functions.winnow as winnow_mod
+
+    two = [r.doc_id for r in docs.select("doc_id").limit(2).collect()]
+    bogus = spark.createDataFrame(
+        [(min(two), max(two), 3)], "doc_a long, doc_b long, shared_fps long"
+    )
+    real = winnow_mod.winnow_overlap_pairs
+
+    def lying(documents, k=16, w=8, min_shared=3, max_df=100):
+        return real(documents, k, w, min_shared, max_df).union(bogus)
+
+    monkeypatch.setattr(winnow_mod, "winnow_overlap_pairs", lying)
+    viol = gates.winnow_precision_gate(docs, k=16, w=8, min_shared=3).collect()
+    assert {(v.doc_a, v.doc_b) for v in viol} == {(min(two), max(two))}
