@@ -19,6 +19,34 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
 
+def host_probe() -> float:
+    """Single-process kernel throughput (docs/sec) — host-phase evidence.
+
+    This VM's hypervisor phases drift identical code up to 4x across
+    minutes; embedding the probe in every bench record lets a reader
+    separate engine changes from host phases (calm baseline ~347
+    docs/s for this kernel mix; <=200 means a depressed window)."""
+    import numpy as np
+
+    from cuda_selection_criteria_spark.corpus import generate_pages
+    from cuda_selection_criteria_spark.sketchlib.batch import (
+        hll_cards_encode_batch,
+        superminhash_batch,
+    )
+    from cuda_selection_criteria_spark.sketchlib.hashes import shingle_hashes
+
+    rows, _ = generate_pages(1024, 42)
+    texts = [r.text for r in rows]
+    t0 = time.time()
+    sets = [shingle_hashes(t, 31) for t in texts]
+    counts = np.array([s.size for s in sets], dtype=np.int64)
+    items = np.concatenate([s for s in sets if s.size])
+    didx = np.repeat(np.arange(len(texts), dtype=np.int64), counts)
+    hll_cards_encode_batch(items, didx, len(texts), 14)
+    superminhash_batch(items, didx, len(texts), 64)
+    return round(len(texts) / (time.time() - t0), 1)
+
+
 def main() -> None:
     import __spark_entry__ as entrymod
     from cuda_selection_criteria_spark.session import get_spark
@@ -42,6 +70,7 @@ def main() -> None:
         "embedding_lsh_candidates",
         "events_windowed",
     ]
+    probe_before = host_probe()
     qs = entrymod.queries()
     timings: dict[str, float] = {}
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
@@ -83,6 +112,9 @@ def main() -> None:
         "docs_per_sec_dedup": round(n_docs / dedup_wall, 1) if dedup_wall else None,
         "dedup_m512_sec": m512_sec,
         "cpus": int(CPUS),
+        # single-proc kernel docs/s before/after the timed loop (calm
+        # ~347; <=200 = depressed hypervisor phase — see NOTES_r3.md)
+        "host_probe_docs_per_sec": [probe_before, host_probe()],
     }
     print(json.dumps(result))
     spark.stop()
