@@ -46,18 +46,66 @@ def _small_star(edges: DataFrame) -> DataFrame:
     )
 
 
+def _local_union_find(rows) -> list[tuple[int, int]]:
+    """Union-find with path halving; cluster_id = component minimum —
+    bit-identical output contract to the distributed alternation."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in rows:
+        if a not in parent:
+            parent[a] = a
+        if b not in parent:
+            parent[b] = b
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # union by MIN root so the root is always the component min
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    return [(n, find(n)) for n in parent]
+
+
 def connected_components(
-    pairs: DataFrame, a_col: str = "id_a", b_col: str = "id_b", max_iter: int = 20
+    pairs: DataFrame,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    max_iter: int = 20,
+    local_threshold: int = 1_000_000,
 ) -> DataFrame:
     """edges (a_col, b_col) -> (node long, cluster_id long).
 
     cluster_id is the minimum node id of the component. Every node that
     appears in an edge is assigned (singletons never enter).
+
+    Small-graph fast path: the dup graph AFTER verification is orders
+    of magnitude smaller than the corpus (edges ~ duplicates, not
+    documents), and at that size each large-star/small-star round is a
+    fixed scheduler round-trip, not compute. Edge sets at or under
+    ``local_threshold`` (default 1M edges ~ 16 MB — far under any sane
+    driver heap) are collected and solved with union-find; the result
+    contract (component-minimum cluster ids) is identical and pinned by
+    a parity test plus the driver's DuckDB recursive-CTE closure gate.
+    Above the threshold the Kiveris alternation runs distributed; pass
+    ``local_threshold=0`` to force it.
     """
     edges = pairs.select(F.col(a_col).alias("a"), F.col(b_col).alias("b")).where(
         F.col("a") != F.col("b")
     )
     edges = edges.localCheckpoint(eager=True)
+    if local_threshold:
+        # limit-probe: one job, never scans past threshold+1 edges
+        sample = edges.limit(local_threshold + 1).collect()
+        if len(sample) <= local_threshold:
+            assigned = _local_union_find([(r.a, r.b) for r in sample])
+            spark = pairs.sparkSession
+            return spark.createDataFrame(
+                assigned or [], "node long, cluster_id long"
+            )
     prev_sig = None
     for _ in range(max_iter):
         edges = _large_star(edges)

@@ -51,3 +51,30 @@ def test_star_and_clique_mix(spark):
 def test_duplicate_and_reversed_edges(spark):
     edges = [(1, 2), (2, 1), (1, 2), (3, 2), (2, 3), (7, 8)]
     _check(spark, edges)
+
+
+def test_local_fast_path_matches_distributed(spark):
+    """The union-find fast path must produce bit-identical assignments
+    to the distributed large-star/small-star alternation."""
+    import random
+
+    from cuda_selection_criteria_spark.operators import connected_components
+
+    rng = random.Random(7)
+    edges = [(rng.randrange(500), rng.randrange(500)) for _ in range(800)]
+    df = spark.createDataFrame(
+        [(a, b) for a, b in edges if a != b], "id_a long, id_b long"
+    )
+    fast = {(r.node, r.cluster_id) for r in connected_components(df).collect()}
+    dist = {
+        (r.node, r.cluster_id)
+        for r in connected_components(df, local_threshold=0).collect()
+    }
+    assert fast == dist and fast
+
+
+def test_local_fast_path_empty_edges(spark):
+    from cuda_selection_criteria_spark.operators import connected_components
+
+    df = spark.createDataFrame([], "id_a long, id_b long")
+    assert connected_components(df).count() == 0
