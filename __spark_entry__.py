@@ -214,6 +214,16 @@ def _q_streaming_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.dropDuplicates(["id_a", "id_b"])
 
 
+def _q_dup_pairs_m512_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the SAME containment gate applied at the reference's m=512 bench
+    # config (run_time_experiment.sh:10) — the timing configuration is
+    # correctness-gated too, not only the m=64 flagship.
+    cfg = DedupConfig(tau=0.9, shingle_k=16, smh_m=512, hll_p=14)
+    docs = _docs(spark, sf_dir)
+    pairs = dedup_pipeline(_docs_as_pages(spark, sf_dir), cfg).dup_pairs
+    return dup_pairs_jaccard_gate(docs, pairs, cfg)
+
+
 def _q_winnow_precision_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # winnowing precision violations (expected empty): every emitted
     # winnow pair must share a real k-gram substring (fingerprints hash
@@ -316,6 +326,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_recall_gate": _q_lsh_recall_gate,
         "streaming_batch_cc_gate": _q_streaming_batch_cc_gate,
         "winnow_precision_gate": _q_winnow_precision_gate,
+        "dup_pairs_m512_jaccard_gate": _q_dup_pairs_m512_gate,
     }
 
 
@@ -545,6 +556,13 @@ def oracle_sql() -> dict[str, str]:
         """,
         "winnow_precision_gate": """
             SELECT CAST(NULL AS BIGINT) AS doc_a, CAST(NULL AS BIGINT) AS doc_b
+            WHERE FALSE
+        """,
+        "dup_pairs_m512_jaccard_gate": """
+            SELECT CAST(NULL AS VARCHAR) AS url_a,
+                   CAST(NULL AS VARCHAR) AS url_b,
+                   CAST(NULL AS VARCHAR) AS kind,
+                   CAST(NULL AS BIGINT) AS exact_jaccard_x1e6
             WHERE FALSE
         """,
         "lsh_recall_gate": """
