@@ -75,18 +75,20 @@ def main() -> None:
     timings: dict[str, float] = {}
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     n_docs = docs.count()
-    # warm-up: spawn all python workers and run the REAL sketch kernels
-    # once per worker (numpy/sketchlib imports + malloc arena
-    # first-touch are the dominant one-time costs) — the timed loop
-    # then measures steady-state walls, as on a long-lived cluster
-    from cuda_selection_criteria_spark.operators import sketch_pages
-    from cuda_selection_criteria_spark.oracle import DedupConfig
-    from pyspark.sql import functions as F
-
-    warm = docs.limit(8 * int(CPUS)).select(
-        F.col("doc_id").cast("string").alias("url"), "text"
-    )
-    sketch_pages(warm, DedupConfig(shingle_k=16), min_partitions=int(CPUS)).count()
+    # warm-up (UNTIMED): run every headline query once at the smallest
+    # scale factor. This spawns all python workers, imports every
+    # module worker-side, JITs the join/aggregate codegen, and
+    # first-touches malloc arenas — the one-time costs a long-lived
+    # cluster's executors never pay per query. Measured: the FIRST
+    # pipeline query pays ~20s of these costs at sf0.01 while an
+    # 8x-heavier variant run right after takes 2.7s; the timed loop
+    # below measures steady-state walls.
+    warm_sf = "/root/testdata/sf0.001"
+    for name in headline + ["dup_pairs_smh_m512"]:
+        try:
+            qs[name](spark, warm_sf).count()
+        except Exception as e:  # warm-up must never fail the bench
+            print(f"# warmup {name}: {e}", file=sys.stderr)
     for name in headline:
         t0 = time.time()
         df = qs[name](spark, SF_DIR)

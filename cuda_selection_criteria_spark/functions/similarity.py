@@ -77,6 +77,10 @@ def embedding_knn(
     norms = np.sqrt((V * V).sum(axis=1))
     keep = norms > 0
     ids_all, V_all, norms_all = ids[keep], V[keep], norms[keep]
+    # sort by id so the FIRST index among rounded-sim ties is the
+    # smallest neighbor id — lets the per-row tie-break be one argmax
+    order = np.argsort(ids_all, kind="stable")
+    ids_all, V_all, norms_all = ids_all[order], V_all[order], norms_all[order]
     sc = embeddings.sparkSession.sparkContext
     bc = sc.broadcast((ids_all, V_all, norms_all))
 
@@ -96,9 +100,9 @@ def embedding_knn(
             S[qids[:, None] == b_ids[None, :]] = -np.inf  # exclude self
             Sr = np.round(S, round_digits)
             best = Sr.max(axis=1)
-            out_n = np.empty(len(qids), dtype=np.int64)
-            for i in range(len(qids)):
-                out_n[i] = b_ids[np.nonzero(Sr[i] == best[i])[0]].min()
+            # b_ids are sorted ascending, so argmax of the tie mask =
+            # first tie = smallest neighbor id (no per-row Python loop)
+            out_n = b_ids[np.argmax(Sr == best[:, None], axis=1)]
             yield pd.DataFrame({"vec_id": qids, "neighbor_id": out_n, "sim": best})
 
     return embeddings.select("vec_id", "embedding").mapInPandas(
