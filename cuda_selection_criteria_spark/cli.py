@@ -104,6 +104,65 @@ def cmd_dedup(args) -> None:
     )
 
 
+def cmd_textops(args) -> None:
+    """Training-data operators over a documents/embeddings parquet —
+    the library surface reachable from spark-submit without writing a
+    driver script. ``--op`` selects the family; output is parquet."""
+    from .session import get_spark
+
+    spark = get_spark(master=args.master)
+    src = spark.read.parquet(args.input)
+    t0 = time.time()
+    if args.op == "exact":
+        from .functions import exact_dup_groups
+
+        df = exact_dup_groups(src)
+    elif args.op == "ngram":
+        from .functions import ngram_jaccard_pairs
+
+        df = ngram_jaccard_pairs(
+            src, k=args.ngram_k, min_jaccard=args.min_jaccard, max_df=args.max_df
+        )
+    elif args.op == "simhash":
+        from .functions import simhash_pairs
+
+        df = simhash_pairs(src, max_hamming=args.max_hamming)
+    elif args.op == "winnow":
+        from .functions.winnow import winnow_overlap_pairs
+
+        df = winnow_overlap_pairs(src, max_df=args.max_df)
+    elif args.op == "spans":
+        from .functions.substr import duplicated_spans
+
+        df = duplicated_spans(src, min_len=args.min_len, min_count=args.min_count)
+    elif args.op == "knn":
+        from .functions import embedding_knn
+
+        df = embedding_knn(src)
+    elif args.op == "ivf":
+        from .functions.ivf import embedding_ivf_topk
+
+        df = embedding_ivf_topk(src)
+    elif args.op == "lsh":
+        from .functions import embedding_lsh_candidates
+
+        df = embedding_lsh_candidates(src)
+    else:  # pragma: no cover - argparse choices guard this
+        raise SystemExit(f"unknown op {args.op}")
+    df.write.mode("overwrite").parquet(args.output)
+    out = spark.read.parquet(args.output)
+    print(
+        json.dumps(
+            {
+                "op": args.op,
+                "rows": out.count(),
+                "output": args.output,
+                "wall_s": round(time.time() - t0, 2),
+            }
+        )
+    )
+
+
 def main(argv=None) -> None:
     p = argparse.ArgumentParser(prog="cuda_selection_criteria_spark")
     p.add_argument("--master", default=None)
@@ -144,6 +203,25 @@ def main(argv=None) -> None:
             help="materialize sketches into the warehouse with per-part lineage; re-runs skip completed parts",
         )
         s.set_defaults(fn=fn)
+
+    t = sub.add_parser(
+        "textops",
+        help="training-data operators (dedup families / ANN) over a parquet table",
+    )
+    t.add_argument("--input", required=True, help="documents (or embeddings for knn/ivf/lsh) parquet")
+    t.add_argument("--output", required=True)
+    t.add_argument(
+        "--op",
+        required=True,
+        choices=["exact", "ngram", "simhash", "winnow", "spans", "knn", "ivf", "lsh"],
+    )
+    t.add_argument("--ngram-k", type=int, default=5)
+    t.add_argument("--min-jaccard", type=float, default=0.5)
+    t.add_argument("--max-df", type=int, default=100)
+    t.add_argument("--max-hamming", type=int, default=3)
+    t.add_argument("--min-len", type=int, default=20)
+    t.add_argument("--min-count", type=int, default=2)
+    t.set_defaults(fn=cmd_textops)
 
     args = p.parse_args(argv)
     args.fn(args)

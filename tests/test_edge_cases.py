@@ -41,3 +41,24 @@ def test_mixed_empty_and_duplicates(spark):
     )
     assert {(r.url_a, r.url_b) for r in pairs} == {("b", "c")}
     assert {r.url for r in clusters} == {"b", "c"}
+
+
+def test_cli_textops_spans_and_simhash(spark, tmp_path):
+    """textops subcommand: run two families end-to-end via the CLI main."""
+    from cuda_selection_criteria_spark import cli
+
+    out1 = str(tmp_path / "spans")
+    cli.main([
+        "textops", "--input", "/root/testdata/sf0.001/documents.parquet",
+        "--output", out1, "--op", "spans",
+    ])
+    assert spark.read.parquet(out1).count() > 0
+
+    out2 = str(tmp_path / "simhash")
+    cli.main([
+        "textops", "--input", "/root/testdata/sf0.001/documents.parquet",
+        "--output", out2, "--op", "simhash",
+    ])
+    assert {f.name for f in spark.read.parquet(out2).schema.fields} == {
+        "doc_a", "doc_b", "hamming"
+    }
