@@ -214,6 +214,44 @@ def _q_streaming_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.dropDuplicates(["id_a", "id_b"])
 
 
+def _hll_cfg(criterion: str) -> DedupConfig:
+    # the reference's other two selection criteria (-c hll_a | hll_an,
+    # /root/reference/src/selection.cpp:107-111,158-238): auxiliary
+    # p=8 HLL union + statistical error bound instead of the SMH band
+    # collision. Same flagship shingle/tau config; aux 256 B -> p=8 is
+    # the reference default (selection.cpp:80, fixture *.hll_8).
+    return DedupConfig(tau=0.9, shingle_k=16, smh_m=64, hll_p=14, criterion=criterion)
+
+
+def _q_dup_pairs_hll_a(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # cb_bucket_pairs (log-cardinality bucket equi-join, the Spark form
+    # of the reference's sorted + prefix-break scan) -> hll_a aux
+    # criterion -> HLL verify. Sketch decisions are non-SQL -> rows-only;
+    # the containment gate below is the hash-green pin.
+    return dedup_pipeline(_docs_as_pages(spark, sf_dir), _hll_cfg("hll_a")).dup_pairs
+
+
+def _q_dup_pairs_hll_an(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup_pipeline(_docs_as_pages(spark, sf_dir), _hll_cfg("hll_an")).dup_pairs
+
+
+def _q_dup_pairs_hll_a_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # same empty-relation containment gate as the smh flagship, at the
+    # hll_a criterion: emitted pairs must clear the exact-Jaccard
+    # precision band, byte-identical docs must be emitted.
+    cfg = _hll_cfg("hll_a")
+    docs = _docs(spark, sf_dir)
+    pairs = dedup_pipeline(_docs_as_pages(spark, sf_dir), cfg).dup_pairs
+    return dup_pairs_jaccard_gate(docs, pairs, cfg)
+
+
+def _q_dup_pairs_hll_an_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cfg = _hll_cfg("hll_an")
+    docs = _docs(spark, sf_dir)
+    pairs = dedup_pipeline(_docs_as_pages(spark, sf_dir), cfg).dup_pairs
+    return dup_pairs_jaccard_gate(docs, pairs, cfg)
+
+
 def _q_dup_pairs_m512_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the SAME containment gate applied at the reference's m=512 bench
     # config (run_time_experiment.sh:10) — the timing configuration is
@@ -302,6 +340,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_clusters_ngram": _q_dup_clusters_ngram,
         "dup_pairs_jaccard_gate": _q_dup_pairs_gate,
         "dup_pairs_smh_m512": _q_dup_pairs_smh_m512,
+        "dup_pairs_hll_a": _q_dup_pairs_hll_a,
+        "dup_pairs_hll_an": _q_dup_pairs_hll_an,
+        "dup_pairs_hll_a_jaccard_gate": _q_dup_pairs_hll_a_gate,
+        "dup_pairs_hll_an_jaccard_gate": _q_dup_pairs_hll_an_gate,
         "exact_dup_groups": _q_exact_dup_groups,
         "ngram_jaccard_pairs": _q_ngram_jaccard,
         "token_stats": _q_token_stats,
@@ -559,6 +601,20 @@ def oracle_sql() -> dict[str, str]:
             WHERE FALSE
         """,
         "dup_pairs_m512_jaccard_gate": """
+            SELECT CAST(NULL AS VARCHAR) AS url_a,
+                   CAST(NULL AS VARCHAR) AS url_b,
+                   CAST(NULL AS VARCHAR) AS kind,
+                   CAST(NULL AS BIGINT) AS exact_jaccard_x1e6
+            WHERE FALSE
+        """,
+        "dup_pairs_hll_a_jaccard_gate": """
+            SELECT CAST(NULL AS VARCHAR) AS url_a,
+                   CAST(NULL AS VARCHAR) AS url_b,
+                   CAST(NULL AS VARCHAR) AS kind,
+                   CAST(NULL AS BIGINT) AS exact_jaccard_x1e6
+            WHERE FALSE
+        """,
+        "dup_pairs_hll_an_jaccard_gate": """
             SELECT CAST(NULL AS VARCHAR) AS url_a,
                    CAST(NULL AS VARCHAR) AS url_b,
                    CAST(NULL AS VARCHAR) AS kind,
