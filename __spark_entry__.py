@@ -36,6 +36,7 @@ from cuda_selection_criteria_spark.functions.gates import (
     cc_diff_gate,
     dup_pairs_jaccard_gate,
     lsh_recall_gate,
+    simhash_precision_gate,
     simhash_recall_gate,
     winnow_guarantee_gate,
     winnow_precision_gate,
@@ -158,7 +159,12 @@ def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     # media table derived deterministically from documents (payload =
     # UTF-8 text bytes, dims pure functions of doc_id) so the decode +
     # pooled-feature plumbing is hash-checkable against DuckDB.
-    return media_feature_sums(media_from_documents(_docs(spark, sf_dir)))
+    # ascii_only: ONLY this oracle-gated query restricts to the ASCII
+    # subset (DuckDB's ord/substr is char-indexed, the decoder
+    # byte-indexed); the operator itself ingests every document.
+    return media_feature_sums(
+        media_from_documents(_docs(spark, sf_dir), ascii_only=True)
+    )
 
 
 def _q_embedding_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -277,6 +283,14 @@ def _q_simhash_recall_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_recall_gate(_docs(spark, sf_dir), max_hamming=3)
 
 
+def _q_simhash_precision_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # SimHash precision violations (expected empty): every emitted
+    # simhash pair must share >= 1 whitespace token (disjoint token
+    # sets -> independent fingerprints -> P(Hamming<=3) ~ 2.4e-15).
+    # Pins the emit direction of simhash_pairs like winnow now has.
+    return simhash_precision_gate(_docs(spark, sf_dir), max_hamming=3)
+
+
 def _q_lsh_recall_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # hyperplane-LSH recall violations (expected empty): identical
     # non-zero embedding vectors share every table's bucket, so they
@@ -307,8 +321,14 @@ def _q_streaming_batch_cc_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").cast("string").alias("url"), "text"
     )
     cands = streaming_band_candidates(stream, cfg, state_ttl_ms=None)
+    # expect_single_batch: the CC-equality invariant requires the whole
+    # input in ONE micro-batch (the stateful representative must be the
+    # same bucket minimum batch star uses, and the CB prune must see
+    # identical representative cardinalities). The file source drains
+    # ReadAllAvailable here (no maxFilesPerTrigger); this makes the
+    # assumption a checked error instead of a spurious gate firing.
     stream_pairs = run_available_now(
-        cands, f"neardup_gate_{uuid.uuid4().hex[:8]}"
+        cands, f"neardup_gate_{uuid.uuid4().hex[:8]}", expect_single_batch=True
     ).dropDuplicates(["id_a", "id_b"])
     sk = sketch_pages(_docs_as_pages(spark, sf_dir), cfg)
     batch_pairs = candidate_pairs(sk, cfg, bucket_pairing="star")
@@ -365,6 +385,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_ivf_topk": _q_embedding_ivf,
         "ann_upper_bound_gate": _q_ann_bound_gate,
         "simhash_recall_gate": _q_simhash_recall_gate,
+        "simhash_precision_gate": _q_simhash_precision_gate,
         "lsh_recall_gate": _q_lsh_recall_gate,
         "streaming_batch_cc_gate": _q_streaming_batch_cc_gate,
         "winnow_precision_gate": _q_winnow_precision_gate,
@@ -593,6 +614,10 @@ def oracle_sql() -> dict[str, str]:
             WHERE FALSE
         """,
         "simhash_recall_gate": """
+            SELECT CAST(NULL AS BIGINT) AS doc_a, CAST(NULL AS BIGINT) AS doc_b
+            WHERE FALSE
+        """,
+        "simhash_precision_gate": """
             SELECT CAST(NULL AS BIGINT) AS doc_a, CAST(NULL AS BIGINT) AS doc_b
             WHERE FALSE
         """,

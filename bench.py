@@ -83,12 +83,36 @@ def main() -> None:
     # pipeline query pays ~20s of these costs at sf0.01 while an
     # 8x-heavier variant run right after takes 2.7s; the timed loop
     # below measures steady-state walls.
-    warm_sf = "/root/testdata/sf0.001"
+    # warm-up dir: the sibling sf0.001 of SF_DIR (not a hardcoded path,
+    # so the warm-up works on any host layout); override with
+    # SPARK_GRAFT_WARMUP_DIR. A missing dir falls back to SF_DIR itself
+    # — slower warm-up, but never a silently-cold headline.
+    warm_sf = os.environ.get("SPARK_GRAFT_WARMUP_DIR") or os.path.join(
+        os.path.dirname(SF_DIR.rstrip("/")), "sf0.001"
+    )
+    if not os.path.isdir(warm_sf):
+        print(
+            f"# WARNING: warm-up dir {warm_sf} missing; warming at {SF_DIR}",
+            file=sys.stderr,
+        )
+        warm_sf = SF_DIR
+    warmup_errors: list[str] = []
+    cold_first_query_sec = None
     for name in headline + ["dup_pairs_smh_m512"]:
+        t0 = time.time()
         try:
             qs[name](spark, warm_sf).count()
-        except Exception as e:  # warm-up must never fail the bench
-            print(f"# warmup {name}: {e}", file=sys.stderr)
+        except Exception as e:  # warm-up must never fail the bench...
+            # ...but a failed warm-up silently re-colds the first timed
+            # query, so it is recorded IN the result JSON, not swallowed
+            warmup_errors.append(f"{name}: {e}")
+            print(f"# WARMUP ERROR {name}: {e}", file=sys.stderr)
+        if name == headline[0]:
+            # the flagship's COLD wall (worker spawn + imports + codegen
+            # JIT + malloc first-touch, at warm-up scale): quantifies
+            # per-record what the untimed warm-up absorbs, keeping warm
+            # headlines comparable across records AND to cold runs
+            cold_first_query_sec = round(time.time() - t0, 3)
     for name in headline:
         t0 = time.time()
         df = qs[name](spark, SF_DIR)
@@ -117,6 +141,12 @@ def main() -> None:
         # single-proc kernel docs/s before/after the timed loop (calm
         # ~347; <=200 = depressed hypervisor phase — see NOTES_r3.md)
         "host_probe_docs_per_sec": [probe_before, host_probe()],
+        # cold wall of the first warm-up flagship run (at warmup_sf):
+        # the one-time costs the untimed warm-up keeps out of the
+        # headline, measured per record rather than asserted
+        "cold_first_query_sec": cold_first_query_sec,
+        "warmup_sf_dir": warm_sf,
+        "warmup_errors": warmup_errors,
     }
     print(json.dumps(result))
     spark.stop()

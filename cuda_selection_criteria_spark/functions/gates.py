@@ -28,8 +28,34 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from pyspark.sql import Column
+
 from ..oracle import DedupConfig
 from .ngram import doc_shingles
+
+
+def _identity_star_pairs(
+    d: DataFrame, hash_key: Column, fp_key: Column, id_col: str, a_name: str, b_name: str
+) -> DataFrame:
+    """Canonical (min id) x member pairs of rows whose identity key is
+    EQUAL, grouped on a (xxhash64, md5) 24-byte compound key so the
+    payload itself (full text / token array / embedding vector) never
+    rides the identity-group shuffle — the exact_dup_groups key
+    discipline (textstats.py). A false merge needs a simultaneous
+    64-bit AND 128-bit collision (< 2^-190 per pair), and in a gate it
+    could only surface as an extra violation row to investigate, never
+    as a silent pass."""
+    grp = d.groupBy(hash_key.alias("_h"), fp_key.alias("_fp")).agg(
+        F.min(id_col).alias("canon"), F.collect_list(id_col).alias("members")
+    )
+    return (
+        grp.select("canon", F.explode("members").alias("other"))
+        .where(F.col("canon") != F.col("other"))
+        .select(
+            F.least("canon", "other").alias(a_name),
+            F.greatest("canon", "other").alias(b_name),
+        )
+    )
 
 
 def exact_jaccard_for_pairs(
@@ -117,16 +143,8 @@ def dup_pairs_jaccard_gate(
     d = documents.select(F.col("doc_id").cast("string").alias("u"), "text").where(
         F.length("text") >= cfg.shingle_k
     )
-    grp = d.groupBy("text").agg(
-        F.min("u").alias("canon"), F.collect_list("u").alias("members")
-    )
-    ident = (
-        grp.select("canon", F.explode("members").alias("other"))
-        .where(F.col("canon") != F.col("other"))
-        .select(
-            F.least("canon", "other").alias("url_a"),
-            F.greatest("canon", "other").alias("url_b"),
-        )
+    ident = _identity_star_pairs(
+        d, F.xxhash64("text"), F.md5("text"), "u", "url_a", "url_b"
     )
     recall_viol = ident.join(
         dup_pairs.select("url_a", "url_b"), ["url_a", "url_b"], "left_anti"
@@ -262,18 +280,48 @@ def simhash_recall_gate(
     d = documents.select(
         "doc_id", F.sort_array(F.split(F.col("text"), " +")).alias("toks")
     )
-    grp = d.groupBy("toks").agg(
-        F.min("doc_id").alias("canon"), F.collect_list("doc_id").alias("members")
-    )
-    ident = (
-        grp.select("canon", F.explode("members").alias("other"))
-        .where(F.col("canon") != F.col("other"))
-        .select(
-            F.least("canon", "other").alias("doc_a"),
-            F.greatest("canon", "other").alias("doc_b"),
-        )
+    ident = _identity_star_pairs(
+        d, F.xxhash64("toks"), F.md5(F.to_json("toks")), "doc_id", "doc_a", "doc_b"
     )
     return ident.join(pairs.select("doc_a", "doc_b"), ["doc_a", "doc_b"], "left_anti")
+
+
+def simhash_precision_gate(
+    documents: DataFrame, max_hamming: int = 3
+) -> DataFrame:
+    """(doc_a, doc_b): SimHash PRECISION violations — expected empty.
+
+    Precision complement of ``simhash_recall_gate`` (the
+    winnow_precision_gate pattern): every pair emitted by
+    ``simhash_pairs`` must share at least one whitespace token. SimHash
+    bits are sign-aggregated xxhash64 token votes, so two documents
+    with DISJOINT token sets have independent uniform fingerprints —
+    P(Hamming <= 3 over 64 bits) ~ 2.4e-15 per pair; a surviving row is
+    a provable pipeline bug for all practical purposes. Pair-anchored
+    like every gate here: tokens are computed only for pair
+    participants and joined to the pairs on (doc, token) — never a
+    token self-join.
+    """
+    from .simhash import simhash_pairs
+
+    pairs = simhash_pairs(documents, max_hamming=max_hamming).select("doc_a", "doc_b")
+    participants = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .union(pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    toks = (
+        documents.join(participants, "doc_id", "left_semi")
+        .select("doc_id", F.explode(F.split(F.col("text"), " +")).alias("tok"))
+        .distinct()
+    )
+    share = (
+        pairs.join(toks.select(F.col("doc_id").alias("doc_a"), "tok"), "doc_a")
+        .join(toks.select(F.col("doc_id").alias("doc_b"), "tok"), ["doc_b", "tok"])
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    return pairs.join(share, ["doc_a", "doc_b"], "left_anti")
 
 
 def lsh_recall_gate(embeddings: DataFrame, **lsh_kwargs) -> DataFrame:
@@ -292,16 +340,13 @@ def lsh_recall_gate(embeddings: DataFrame, **lsh_kwargs) -> DataFrame:
     pairs = embedding_lsh_candidates(embeddings, **lsh_kwargs)
     cc = connected_components(pairs, a_col="id_a", b_col="id_b")
     e = with_norm(embeddings).where(F.col("_norm") > 0).select("vec_id", "embedding")
-    grp = e.groupBy("embedding").agg(
-        F.min("vec_id").alias("canon"), F.collect_list("vec_id").alias("members")
-    )
-    ident = (
-        grp.select("canon", F.explode("members").alias("other"))
-        .where(F.col("canon") != F.col("other"))
-        .select(
-            F.least("canon", "other").alias("vec_a"),
-            F.greatest("canon", "other").alias("vec_b"),
-        )
+    ident = _identity_star_pairs(
+        e,
+        F.xxhash64("embedding"),
+        F.md5(F.to_json("embedding")),
+        "vec_id",
+        "vec_a",
+        "vec_b",
     )
     cc_a = cc.select(F.col("node").alias("vec_a"), F.col("cluster_id").alias("_ca"))
     cc_b = cc.select(F.col("node").alias("vec_b"), F.col("cluster_id").alias("_cb"))

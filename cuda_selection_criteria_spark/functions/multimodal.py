@@ -83,22 +83,27 @@ def media_features(
     return src.mapInPandas(fn, schema=FEATURE_SCHEMA)
 
 
-def media_from_documents(documents: DataFrame) -> DataFrame:
+def media_from_documents(documents: DataFrame, ascii_only: bool = False) -> DataFrame:
     """Deterministic media table derived from ``documents``: payload =
     UTF-8 text bytes, dims a pure function of doc_id. Because every
     column is derivable from the documents parquet, a DuckDB oracle can
     reproduce any integer feature of the decoded plane — giving the
     multimodal plumbing a hard hash-checked gate.
 
-    Restricted to NON-EMPTY ASCII documents (octet_length == length):
-    the oracle indexes characters (ord(substr(...))) while the decoder
-    indexes payload BYTES, which only agree byte-for-byte on ASCII, and
-    the plane's ``% len`` addressing is undefined on an empty payload.
-    The filter is part of the table definition and mirrored in the
-    DuckDB oracle (__spark_entry__.oracle_sql media CTE)."""
-    documents = documents.where(
-        (F.length("text") > 0) & (F.octet_length("text") == F.length("text"))
-    )
+    By default EVERY document becomes a media row — real corpora are
+    not ASCII, and the byte-level decoder handles any payload
+    (``_fake_decode`` substitutes a zero byte for an empty one).
+    ``ascii_only=True`` restricts to non-empty ASCII documents
+    (octet_length == length) and exists solely for the ORACLE-GATED
+    driver query: DuckDB's ord(substr(...)) indexes characters while
+    the decoder indexes payload BYTES — they only agree byte-for-byte
+    on ASCII — and the oracle's ``% n`` addressing is undefined on an
+    empty payload. The restriction is mirrored in the DuckDB media CTE
+    (__spark_entry__.oracle_sql), never imposed on production callers."""
+    if ascii_only:
+        documents = documents.where(
+            (F.length("text") > 0) & (F.octet_length("text") == F.length("text"))
+        )
     return documents.select(
         F.col("doc_id").alias("media_id"),
         F.encode(F.col("text"), "UTF-8").alias("payload"),

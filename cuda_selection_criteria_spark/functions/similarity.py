@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
@@ -172,15 +172,24 @@ def embedding_lsh_candidates(
         fn, schema="vec_id long, table_id int, bucket long"
     )
     if max_bucket is not None:
+        # materialize the hyperplane pass once: sizes, the anti-join and
+        # the flood branch all reuse it (unchecked, each branch re-ran
+        # the full mapInPandas sketch pass — three passes per call)
+        buckets = buckets.localCheckpoint(eager=True)
         # hot buckets (few by construction) broadcast; the flood side
-        # pairs via a window min — no self-join touches an uncapped key
+        # pairs against a per-bucket minimum computed with groupBy
+        # (map-side partial aggregation) and broadcast-joined back — the
+        # flood rows never shuffle and no single task holds a whole
+        # flood bucket (a Window.partitionBy(bucket) min would funnel
+        # each hot bucket into one task — a straggler at 10^8-row
+        # template cliques)
         sizes = buckets.groupBy("table_id", "bucket").agg(F.count("*").alias("_n"))
         hot = sizes.where(F.col("_n") > max_bucket).select("table_id", "bucket")
         normal = buckets.join(F.broadcast(hot), ["table_id", "bucket"], "left_anti")
         flood = buckets.join(F.broadcast(hot), ["table_id", "bucket"], "left_semi")
-        w = Window.partitionBy("table_id", "bucket")
+        mins = flood.groupBy("table_id", "bucket").agg(F.min("vec_id").alias("_min"))
         star = (
-            flood.withColumn("_min", F.min("vec_id").over(w))
+            flood.join(F.broadcast(mins), ["table_id", "bucket"])
             .where(F.col("vec_id") != F.col("_min"))
             .select(
                 F.least("vec_id", "_min").alias("id_a"),

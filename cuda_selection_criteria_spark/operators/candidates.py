@@ -138,23 +138,25 @@ def aux_criterion_filter(pairs: DataFrame, cfg: DedupConfig) -> DataFrame:
 def _star_pairs(
     sketches: DataFrame, cfg: DedupConfig, max_band_bucket: int | None
 ) -> DataFrame:
-    """Star pairing: one window aggregation instead of a self-join.
+    """Star pairing: every bucket member pairs with the bucket's
+    minimum url_id; CB still filters each pair.
 
-    Within each (band_id, band) bucket, every member pairs with the
-    bucket's minimum url_id. CB still filters each pair. No join at
-    all — a single shuffle on the band key.
+    The per-bucket minimum (and size, when capping) is a groupBy
+    aggregate joined back on the band key — partial (map-side)
+    aggregation computes the min in parallel, and the equi-join is
+    AQE-skew-splittable. A Window.partitionBy(band) formulation would
+    funnel every row of a hot bucket into ONE task (windows can't be
+    skew-split) — the exact flood case star mode exists for.
     """
-    from pyspark.sql import Window
-
     bands = explode_bands(sketches, cfg)
-    w = Window.partitionBy("band_id", "band")
-    annotated = bands.withColumn(
-        "_min", F.min(F.struct("url_id", "card_i")).over(w)
+    stats = bands.groupBy("band_id", "band").agg(
+        F.min(F.struct("url_id", "card_i")).alias("_min"),
+        F.count("*").alias("_n"),
     )
     if max_band_bucket is not None:
-        annotated = annotated.withColumn("_n", F.count("*").over(w)).where(
-            F.col("_n") <= max_band_bucket
-        )
+        stats = stats.where(F.col("_n") <= max_band_bucket)
+    # inner join: rows in dropped (oversized) buckets simply don't match
+    annotated = bands.join(stats, ["band_id", "band"])
     tau = cfg.tau
     return (
         annotated.where(F.col("url_id") != F.col("_min.url_id"))

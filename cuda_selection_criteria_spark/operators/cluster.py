@@ -86,25 +86,37 @@ def connected_components(
     of magnitude smaller than the corpus (edges ~ duplicates, not
     documents), and at that size each large-star/small-star round is a
     fixed scheduler round-trip, not compute. Edge sets at or under
-    ``local_threshold`` (default 1M edges ~ 16 MB — far under any sane
-    driver heap) are collected and solved with union-find; the result
-    contract (component-minimum cluster ids) is identical and pinned by
-    a parity test plus the driver's DuckDB recursive-CTE closure gate.
-    Above the threshold the Kiveris alternation runs distributed; pass
-    ``local_threshold=0`` to force it.
+    ``local_threshold`` (default 1M edges — ~16 MB as two Arrow int64
+    columns, far under any sane driver heap) are fetched and solved
+    with union-find; the result contract (component-minimum cluster
+    ids) is identical and pinned by a parity test plus the driver's
+    DuckDB recursive-CTE closure gate. Above the threshold the Kiveris
+    alternation runs distributed; pass ``local_threshold=0`` to force it.
     """
     edges = pairs.select(F.col(a_col).alias("a"), F.col(b_col).alias("b")).where(
         F.col("a") != F.col("b")
     )
     edges = edges.localCheckpoint(eager=True)
     if local_threshold:
-        # limit-probe: one job, never scans past threshold+1 edges
-        sample = edges.limit(local_threshold + 1).collect()
-        if len(sample) <= local_threshold:
-            assigned = _local_union_find([(r.a, r.b) for r in sample])
+        # cheap bound probe first: a count over at most threshold+1
+        # checkpointed rows — nothing materializes on the driver when
+        # the graph turns out big. Only when it is small does the
+        # Arrow-batched toPandas fetch run (columnar int64, not 1M
+        # driver-side Row objects).
+        n_edges = edges.limit(local_threshold + 1).count()
+        if n_edges <= local_threshold:
+            import pandas as pd
+
+            epdf = edges.toPandas()
+            assigned = _local_union_find(
+                zip(epdf["a"].tolist(), epdf["b"].tolist())
+            )
             spark = pairs.sparkSession
+            if not assigned:
+                return spark.createDataFrame([], "node long, cluster_id long")
             return spark.createDataFrame(
-                assigned or [], "node long, cluster_id long"
+                pd.DataFrame(assigned, columns=["node", "cluster_id"]),
+                schema="node long, cluster_id long",
             )
     prev_sig = None
     for _ in range(max_iter):

@@ -47,9 +47,25 @@ def read_event_stream(spark: SparkSession, path: str, schema: str | None = None)
     return reader.parquet(path)
 
 
-def run_available_now(sdf: DataFrame, query_name: str, timeout_s: int = 120):
+def run_available_now(
+    sdf: DataFrame,
+    query_name: str,
+    timeout_s: int = 120,
+    expect_single_batch: bool = False,
+):
     """Drain all available input through the streaming plan into a
-    memory sink; returns the result as a batch DataFrame."""
+    memory sink; returns the result as a batch DataFrame.
+
+    ``expect_single_batch``: raise if the drain took more than one
+    data-carrying micro-batch. The streaming-vs-batch CC gate's
+    invariant (streaming star CC == batch star CC) only holds when the
+    whole input lands in one micro-batch — the stateful representative
+    is then the same bucket minimum batch star uses, so the CB prune
+    sees identical cardinalities on both sides. A file source with no
+    ``maxFilesPerTrigger`` drains ReadAllAvailable (one batch); this
+    flag turns that assumption into a checked runtime invariant instead
+    of a silent one.
+    """
     q = (
         sdf.writeStream.format("memory")
         .queryName(query_name)
@@ -58,6 +74,19 @@ def run_available_now(sdf: DataFrame, query_name: str, timeout_s: int = 120):
         .start()
     )
     q.awaitTermination(timeout_s)
+    if expect_single_batch:
+        def _rows(p):
+            try:
+                return p["numInputRows"]
+            except TypeError:
+                return p.numInputRows
+        n_data = sum(1 for p in q.recentProgress if _rows(p) > 0)
+        if n_data > 1:
+            raise AssertionError(
+                f"expected a single-micro-batch drain, got {n_data} "
+                f"data-carrying batches — the streaming-vs-batch CC "
+                f"equality invariant does not hold across batch splits"
+            )
     return sdf.sparkSession.sql(f"SELECT * FROM {query_name}")
 
 

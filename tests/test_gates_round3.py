@@ -220,8 +220,9 @@ def test_embedding_knn_refuses_oversize_by_default(spark):
 
 # ------------------------------------------------ media guard
 
-def test_media_from_documents_excludes_empty_and_non_ascii(spark):
+def test_media_from_documents_coverage_and_ascii_mode(spark):
     from cuda_selection_criteria_spark.functions.multimodal import (
+        media_feature_sums,
         media_from_documents,
     )
 
@@ -229,8 +230,18 @@ def test_media_from_documents_excludes_empty_and_non_ascii(spark):
         [(1, "plain ascii text"), (2, ""), (3, "café au lait"), (4, "ok")],
         "doc_id long, text string",
     )
+    # production contract: EVERY document becomes a media row (non-ASCII
+    # and empty payloads included) and the decoder handles them
     ids = {r.media_id for r in media_from_documents(docs).collect()}
-    assert ids == {1, 4}
+    assert ids == {1, 2, 3, 4}
+    feats = media_feature_sums(media_from_documents(docs))
+    assert {r.media_id for r in feats.collect()} == {1, 2, 3, 4}
+    # oracle-gated driver query opts into the ASCII subset (DuckDB's
+    # ord/substr is char-indexed; the decoder is byte-indexed)
+    ascii_ids = {
+        r.media_id for r in media_from_documents(docs, ascii_only=True).collect()
+    }
+    assert ascii_ids == {1, 4}
 
 
 # ------------------------------------------------ winnow precision
@@ -256,3 +267,75 @@ def test_winnow_precision_gate_empty_and_sensitive(spark, monkeypatch):
     monkeypatch.setattr(winnow_mod, "winnow_overlap_pairs", lying)
     viol = gates.winnow_precision_gate(docs, k=16, w=8, min_shared=3).collect()
     assert {(v.doc_a, v.doc_b) for v in viol} == {(min(two), max(two))}
+
+
+# ------------------------------------------------ simhash precision
+
+def test_simhash_precision_gate_empty_and_sensitive(spark, monkeypatch):
+    from cuda_selection_criteria_spark.functions import gates
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    assert gates.simhash_precision_gate(docs, max_hamming=3).count() == 0
+
+    # inject a bogus pair of token-DISJOINT docs -> gate must flag it
+    import cuda_selection_criteria_spark.functions.simhash as simhash_mod
+
+    tiny = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "delta epsilon zeta")],
+        "doc_id long, text string",
+    )
+    bogus = spark.createDataFrame([(1, 2)], "doc_a long, doc_b long")
+    real = simhash_mod.simhash_pairs
+
+    def lying(documents, max_hamming=3, id_col="doc_id"):
+        return real(documents, max_hamming, id_col).select("doc_a", "doc_b").union(bogus)
+
+    monkeypatch.setattr(simhash_mod, "simhash_pairs", lying)
+    viol = gates.simhash_precision_gate(tiny, max_hamming=3).collect()
+    assert {(v.doc_a, v.doc_b) for v in viol} == {(1, 2)}
+
+
+# ------------------------------------------------ hashed identity keys
+
+def test_identity_star_pairs_matches_payload_grouping(spark):
+    """The (xxhash64, md5) identity-group key must reproduce the
+    payload-grouped star pairs exactly — for strings AND array keys."""
+    from cuda_selection_criteria_spark.functions.gates import _identity_star_pairs
+
+    d = spark.createDataFrame(
+        [(1, "aa"), (2, "bb"), (3, "aa"), (4, "aa"), (5, "cc"), (6, "bb")],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in _identity_star_pairs(
+            d, F.xxhash64("text"), F.md5("text"), "doc_id", "doc_a", "doc_b"
+        ).collect()
+    }
+    grp = d.groupBy("text").agg(
+        F.min("doc_id").alias("canon"), F.collect_list("doc_id").alias("members")
+    )
+    want = {
+        (min(r.canon, m), max(r.canon, m))
+        for r in grp.collect()
+        for m in r.members
+        if m != r.canon
+    }
+    assert got == want == {(1, 3), (1, 4), (2, 6)}
+
+    e = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, [1.0, 2.0]), (3, [2.0, 1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    got_e = {
+        (r.vec_a, r.vec_b)
+        for r in _identity_star_pairs(
+            e,
+            F.xxhash64("embedding"),
+            F.md5(F.to_json("embedding")),
+            "vec_id",
+            "vec_a",
+            "vec_b",
+        ).collect()
+    }
+    assert got_e == {(1, 2)}

@@ -167,20 +167,26 @@ def main() -> None:
 def write_report() -> None:
     """Regenerate BENCH/BASELINE.md from the full run history.
 
-    Headline run = the LATEST recorded run (at its recorded git rev) —
-    NOT the best of history. Selecting the best-median run post-hoc
-    overstates what the current code reproduces (round-2 verdict);
-    the latest-run rule means the headline is always re-earned at HEAD.
-    The run's MEDIAN adjacent-pair efficiency is the headline number:
-    the median is robust to single-pair drift in EITHER direction (a
-    pair whose N leg hits a depressed phase reads spuriously high — one
-    recorded pair measured 1.159, which is physically impossible and
-    reported as the artifact it is), while a run median only moves if
-    most of the run's pairs do.
+    Headline rule (round 4, hardening the round-3 latest-run rule): the
+    MEDIAN of the run-medians of ALL runs recorded at the NEWEST
+    recorded git rev. Round 3 fixed best-of-history selection bias by
+    pinning the headline to the latest run at its rev; one run is still
+    one sample on a host whose phases drift run medians 0.447-0.927, so
+    the headline now aggregates every run at the current rev (target:
+    >= 3 runs) — still never a post-hoc selection (the rev group is
+    determined by recording order, and every run at that rev counts).
+    Per-run, the MEDIAN adjacent-pair efficiency is used: robust to
+    single-pair drift in either direction (a pair whose N leg hits a
+    depressed phase reads spuriously high — one recorded pair measured
+    1.159, physically impossible, reported as the artifact it is).
     """
     hist_path = "/root/repo/BENCH/scaling_runs.jsonl"
     history = [json.loads(l) for l in open(hist_path) if l.strip()]
     best_run = history[-1]
+    head_rev = best_run["rev"]
+    head_runs = [r for r in history if r["rev"] == head_rev]
+    head_medians = [r["eff_median"] for r in head_runs]
+    headline_eff = statistics.median(head_medians)
     legs = best_run["legs"]
     n_lo, n_hi = best_run["n_lo"], best_run["n_hi"]
     eff_best = best_run["eff_best"]
@@ -215,9 +221,12 @@ kernel), understating true resource scaling.
 Legs alternate N,4N x{N_REPEATS}; efficiency per adjacent pair; all
 runs produced identical dup_pairs: {same}.
 
-**Headline rule: the LATEST recorded run, at its recorded git rev
-(run {len(history) - 1}, rev {best_run['rev']}) — never a post-hoc
-best-of-history selection.** Full history below; nothing discarded.
+**Headline rule (round 4): the MEDIAN of run-medians across ALL
+{len(head_runs)} run(s) recorded at the newest rev ({head_rev}:
+run-medians {sorted(head_medians)}) — never a post-hoc selection: the
+rev group is fixed by recording order and every run at that rev
+counts.** The leg table below shows the latest of those runs (run
+{len(history) - 1}). Full history below; nothing discarded.
 
 | leg | parallelism | dedup wall_s | docs/sec (MinHash+LSH) | clustering wall_s |
 |---|---|---|---|---|
@@ -229,9 +238,9 @@ best-of-history selection.** Full history below; nothing discarded.
         f.write(f"""
 Best per level: N={N_LO}: {lo_best['docs_per_sec']} docs/s; 4N={N_HI}: {hi_best['docs_per_sec']} docs/s.
 
-**Scaling efficiency = {eff_med:.3f} (median adjacent N->4N pair of the
-LATEST run, rev {best_run['rev']}; best pair {eff_best:.3f}; target
->= 0.8 per BASELINE.json `metric`).**
+**Scaling efficiency = {headline_eff:.3f} (median of the {len(head_runs)}
+run-medians at rev {head_rev}; latest run's own median {eff_med:.3f},
+best pair {eff_best:.3f}; target >= 0.8 per BASELINE.json `metric`).**
 
 All recorded runs (BENCH/scaling_runs.jsonl — full history, nothing
 discarded). The run-level MEDIAN is the comparable number: single
