@@ -29,7 +29,13 @@ from pyspark.sql import functions as F
 def _cfg(args):
     from .oracle import DedupConfig
 
-    return DedupConfig(tau=args.tau, shingle_k=args.shingle_k, smh_m=args.m, hll_p=14)
+    return DedupConfig(
+        tau=args.tau,
+        shingle_k=args.shingle_k,
+        smh_m=args.m,
+        hll_p=14,
+        criterion=getattr(args, "criterion", "smh_a"),
+    )
 
 
 def cmd_gen_corpus(args) -> None:
@@ -62,6 +68,17 @@ def cmd_dedup(args) -> None:
     spark = get_spark(master=args.master)
     pages = spark.read.parquet(args.input)
     t0 = time.time()
+    if args.resume and args.criterion in ("hll_a", "hll_an"):
+        # the aux criteria need the hll_aux column in the persisted
+        # sketches table; a table sketched under smh_a lacks it — fail
+        # with guidance instead of a mapInPandas KeyError mid-job
+        wh_probe = Warehouse(spark, args.warehouse)
+        if wh_probe.exists("sketches") and "hll_aux" not in wh_probe.read("sketches").columns:
+            raise SystemExit(
+                f"sketches table at {args.warehouse} has no hll_aux column; "
+                f"re-run `sketch -c {args.criterion}` (or use a fresh "
+                f"--warehouse) before `dedup -c {args.criterion} --resume`"
+            )
     if args.resume:
         # checkpoint-resume path: sketches materialize into the
         # warehouse per part_id; a re-run after a kill skips completed
@@ -183,6 +200,16 @@ def main(argv=None) -> None:
         s.add_argument("--shingle-k", type=int, default=31)
         s.add_argument("--m", type=int, default=64)
         s.add_argument("--parts", type=int, default=32)
+        s.add_argument(
+            "-c",
+            "--criterion",
+            choices=["smh_a", "hll_a", "hll_an", "cb"],
+            default="smh_a",
+            help="selection criterion, mirroring the reference's -c flag "
+            "(/root/reference/src/selection.cpp:107-111): smh_a = LSH band "
+            "collision; hll_a/hll_an = auxiliary p=8 HLL union bound; cb = "
+            "cardinality bound only",
+        )
         s.add_argument("--max-band-bucket", type=int, default=None)
         s.add_argument(
             "--salt-target",

@@ -62,3 +62,26 @@ def test_cli_textops_spans_and_simhash(spark, tmp_path):
     assert {f.name for f in spark.read.parquet(out2).schema.fields} == {
         "doc_a", "doc_b", "hamming"
     }
+
+
+def test_cli_dedup_criterion_flag(spark, tmp_path):
+    """-c mirrors the reference selection binary's criterion flag: the
+    hll_a cascade runs end-to-end from the CLI, and a warehouse sketched
+    under smh_a refuses an aux-criterion resume with guidance."""
+    import pytest
+
+    from cuda_selection_criteria_spark import cli
+
+    corpus = str(tmp_path / "pages")
+    cli.main(["gen-corpus", "--rows", "300", "--output", corpus])
+    wh = str(tmp_path / "wh_hll")
+    cli.main(["dedup", "--input", corpus, "--warehouse", wh, "-c", "hll_a"])
+    assert spark.read.parquet(f"{wh}/dup_pairs").count() > 0
+
+    wh2 = str(tmp_path / "wh_smh")
+    cli.main(["sketch", "--input", corpus, "--warehouse", wh2])
+    assert "hll_aux" not in spark.read.parquet(f"{wh2}/sketches").columns
+    with pytest.raises(SystemExit, match="hll_aux"):
+        cli.main(
+            ["dedup", "--input", corpus, "--warehouse", wh2, "-c", "hll_a", "--resume"]
+        )

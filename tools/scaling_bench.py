@@ -287,10 +287,10 @@ pairs drift in both directions on this host (one recorded pair reads
 hypervisor phase — so per-pair maxima are not trusted; run-level
 medians move only when most pairs do):
 
-| run | git rev | adjacent-pair efficiencies | best | median |
-|---|---|---|---|---|
+| run | git rev | rows | adjacent-pair efficiencies | best | median |
+|---|---|---|---|---|---|
 """ + "".join(
-            f"| {i} | {r['rev']} | {r['pair_effs']} | {r['eff_best']} | {r['eff_median']} |\n"
+            f"| {i} | {r['rev']} | {r.get('rows', '?')} | {r['pair_effs']} | {r['eff_best']} | {r['eff_median']} |\n"
             for i, r in enumerate(history)
         ) + f"""
 Notes
