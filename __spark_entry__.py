@@ -31,10 +31,12 @@ from cuda_selection_criteria_spark.functions import (
     source_profile,
     token_stats,
 )
+from cuda_selection_criteria_spark.functions import embedding_sim_pairs
 from cuda_selection_criteria_spark.functions.gates import (
     ann_upper_bound_gate,
     cc_diff_gate,
     dup_pairs_jaccard_gate,
+    embedding_sim_subset_gate,
     lsh_recall_gate,
     simhash_precision_gate,
     simhash_recall_gate,
@@ -137,6 +139,39 @@ def _q_embedding_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_lsh_candidates(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
+
+
+def _q_embedding_sim_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # embedding-cosine near-dup pairs, exact contract (all pairs checked
+    # via broadcast blocked matmul; sims rounded before thresholding) —
+    # fully SQL-expressible, hash-gated against DuckDB.
+    return embedding_sim_pairs(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
+
+
+def _q_embedding_sim_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the 100TB path: hyperplane-LSH candidates -> exact cosine verify
+    # on candidates only (O(candidates), no N^2). Emitted (pair, sim)
+    # rows are a SUBSET of the exact result by construction — pinned by
+    # embedding_sim_subset_gate below; recall pinned by lsh_recall_gate.
+    # min_sim=0.2 here: the test corpus has no near-identical vectors
+    # (max pair sim ~0.5), so the dedup threshold (0.45+) would emit
+    # nothing through 16-bit buckets; 0.2 exercises the verify path on
+    # real collisions (3 rows at sf0.01) and keeps the subset gate
+    # non-vacuous.
+    return embedding_sim_pairs(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet"),
+        min_sim=0.2,
+        method="lsh",
+    )
+
+
+def _q_embedding_sim_subset_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # subset violations (expected empty): LSH-verified pairs not in the
+    # exact pair set would be provable bucket/verify bugs. Same
+    # min_sim as the lsh query so the checked set is the emitted set.
+    return embedding_sim_subset_gate(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet"), min_sim=0.2
+    )
 
 
 def _q_lang_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -372,6 +407,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id_scores": _q_lang_id_scores,
         "embedding_knn": _q_embedding_knn,
         "embedding_lsh_candidates": _q_embedding_lsh,
+        "embedding_sim_pairs": _q_embedding_sim_pairs,
+        "embedding_sim_pairs_lsh": _q_embedding_sim_pairs_lsh,
+        "embedding_sim_subset_gate": _q_embedding_sim_subset_gate,
         "events_windowed": _q_events_windowed,
         "streaming_neardup_candidates": _q_streaming_neardup,
         "lang_predict": _q_lang_predict,
@@ -516,6 +554,21 @@ def oracle_sql() -> dict[str, str]:
               SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, neighbor_id ASC) AS rn
               FROM p
             ) WHERE rn = 1
+        """,
+        "embedding_sim_pairs": """
+            WITH e AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+              FROM embeddings
+              WHERE list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])) > 0
+            )
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_cosine_similarity(a.v, b.v), 4) AS sim
+            FROM e a JOIN e b ON a.vec_id < b.vec_id
+            WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.45
+        """,
+        "embedding_sim_subset_gate": """
+            SELECT CAST(NULL AS BIGINT) AS id_a, CAST(NULL AS BIGINT) AS id_b
+            WHERE FALSE
         """,
         "events_windowed": """
             SELECT CAST(epoch(time_bucket(INTERVAL '5 minutes', ts)) AS BIGINT) AS w_start,

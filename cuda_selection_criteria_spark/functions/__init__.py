@@ -14,7 +14,7 @@ from .textstats import (
     token_counts_bpe,
 )
 from .ngram import ngram_jaccard_pairs
-from .similarity import embedding_knn, embedding_lsh_candidates
+from .similarity import embedding_knn, embedding_lsh_candidates, embedding_sim_pairs
 from .simhash import simhash_docs, simhash_pairs
 from .multimodal import (
     media_features,
@@ -38,6 +38,7 @@ __all__ = [
     "ngram_jaccard_pairs",
     "embedding_knn",
     "embedding_lsh_candidates",
+    "embedding_sim_pairs",
     "simhash_docs",
     "simhash_pairs",
     "media_features",

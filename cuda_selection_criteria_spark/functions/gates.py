@@ -362,6 +362,28 @@ def lsh_recall_gate(embeddings: DataFrame, **lsh_kwargs) -> DataFrame:
     )
 
 
+def embedding_sim_subset_gate(
+    embeddings: DataFrame, min_sim: float = 0.45
+) -> DataFrame:
+    """(id_a, id_b): violations of the LSH-verify SUBSET property —
+    expected empty.
+
+    The LSH near-dup path verifies its candidate pairs with the same
+    rounded-cosine check the exact path applies to ALL pairs, so every
+    (pair, sim) row it emits must also appear in the exact result —
+    lsh output is a subset by construction, and any anti-join survivor
+    is a provable bug in the bucket/verify plumbing. (Recall — pairs
+    LSH may miss — is the separate lsh_recall_gate.)
+    """
+    from .similarity import embedding_sim_pairs
+
+    lsh = embedding_sim_pairs(embeddings, min_sim=min_sim, method="lsh")
+    exact = embedding_sim_pairs(embeddings, min_sim=min_sim, method="exact")
+    return lsh.join(exact, ["id_a", "id_b", "sim"], "left_anti").select(
+        "id_a", "id_b"
+    )
+
+
 def cc_diff_gate(
     pairs_a: DataFrame,
     pairs_b: DataFrame,

@@ -110,6 +110,119 @@ def embedding_knn(
     )
 
 
+def embedding_sim_pairs(
+    embeddings: DataFrame,
+    min_sim: float = 0.45,
+    round_digits: int = 4,
+    max_broadcast_rows: int = 200_000,
+    method: str = "exact",
+    **lsh_kwargs,
+) -> DataFrame:
+    """(id_a, id_b, sim): every pair with cosine similarity >= min_sim,
+    id_a < id_b — embedding-cosine near-duplicate pairs.
+
+    ``method="exact"``: broadcast + blocked matmul (the embedding_knn
+    pattern) — ALL pairs checked, so the result is DuckDB-comparable;
+    refuses inputs above ``max_broadcast_rows`` (exact contract, same
+    as embedding_knn). Similarities are rounded BEFORE thresholding so
+    the emit decision is identical across engines.
+
+    ``method="lsh"``: hyperplane-LSH candidates -> exact cosine verify
+    on the candidate pairs only — the 100 TB path (O(candidates), no
+    N^2 anywhere; the verify joins vectors for candidate ids only).
+    Precision is exact by construction (every emitted pair passes the
+    same rounded-cosine check, so lsh output is a SUBSET of exact
+    output — gate-checkable); recall is the LSH collision probability,
+    with identical vectors pinned by lsh_recall_gate.
+    """
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    if method == "lsh":
+        cands = embedding_lsh_candidates(embeddings, **lsh_kwargs)
+        e = embeddings.select("vec_id", "embedding")
+        joined = (
+            cands.join(
+                e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("_va")),
+                "id_a",
+            )
+            .join(
+                e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("_vb")),
+                "id_b",
+            )
+        )
+
+        def verify(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                A = np.array([np.asarray(v, dtype=np.float64) for v in pdf["_va"]])
+                B = np.array([np.asarray(v, dtype=np.float64) for v in pdf["_vb"]])
+                na = np.sqrt((A * A).sum(axis=1))
+                nb = np.sqrt((B * B).sum(axis=1))
+                ok = (na > 0) & (nb > 0)
+                if not ok.any():
+                    continue
+                sim = np.round(
+                    (A[ok] * B[ok]).sum(axis=1) / (na[ok] * nb[ok]), round_digits
+                )
+                keep = sim >= min_sim
+                if not keep.any():
+                    continue
+                yield pd.DataFrame(
+                    {
+                        "id_a": pdf["id_a"].values[ok][keep],
+                        "id_b": pdf["id_b"].values[ok][keep],
+                        "sim": sim[keep],
+                    }
+                )
+
+        return joined.mapInPandas(verify, schema="id_a long, id_b long, sim double")
+
+    rows = embeddings.select("vec_id", "embedding").limit(max_broadcast_rows + 1).collect()
+    if len(rows) > max_broadcast_rows:
+        raise ValueError(
+            f"embedding_sim_pairs(method='exact') checks all pairs and refuses "
+            f"inputs above max_broadcast_rows={max_broadcast_rows}; use "
+            f"method='lsh' at scale"
+        )
+    ids = np.array([r.vec_id for r in rows], dtype=np.int64)
+    V = np.array([np.asarray(r.embedding, dtype=np.float64) for r in rows])
+    norms = np.sqrt((V * V).sum(axis=1))
+    keep = norms > 0
+    ids_all, V_all, norms_all = ids[keep], V[keep], norms[keep]
+    sc = embeddings.sparkSession.sparkContext
+    bc = sc.broadcast((ids_all, V_all, norms_all))
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        b_ids, b_V, b_norms = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            q = np.array([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+            qn = np.sqrt((q * q).sum(axis=1))
+            ok = qn > 0
+            if not ok.any():
+                continue
+            q, qn = q[ok], qn[ok]
+            qids = pdf["vec_id"].values[ok]
+            Sr = np.round((q @ b_V.T) / np.outer(qn, b_norms), round_digits)
+            # emit each unordered pair once: this task owns rows where
+            # its query id is the smaller one
+            mask = (Sr >= min_sim) & (qids[:, None] < b_ids[None, :])
+            qi, bi = np.nonzero(mask)
+            if qi.size == 0:
+                continue
+            yield pd.DataFrame(
+                {"id_a": qids[qi], "id_b": b_ids[bi], "sim": Sr[qi, bi]}
+            )
+
+    return embeddings.select("vec_id", "embedding").mapInPandas(
+        fn, schema="id_a long, id_b long, sim double"
+    )
+
+
 def embedding_lsh_candidates(
     embeddings: DataFrame,
     n_planes: int = 16,

@@ -339,3 +339,42 @@ def test_identity_star_pairs_matches_payload_grouping(spark):
         ).collect()
     }
     assert got_e == {(1, 2)}
+
+
+# ------------------------------------------------ embedding near-dup pairs
+
+def test_embedding_sim_pairs_exact_lsh_and_gate(spark):
+    """Exact path matches a numpy brute force; LSH path is a subset and
+    finds the planted near-identical pair; subset gate is empty."""
+    from cuda_selection_criteria_spark.functions.gates import embedding_sim_subset_gate
+    from cuda_selection_criteria_spark.functions.similarity import embedding_sim_pairs
+
+    rng = np.random.default_rng(5)
+    base = rng.standard_normal(64)
+    rows = [(0, [float(x) for x in base]),
+            (1, [float(x) for x in base + 0.01 * rng.standard_normal(64)])]
+    for i in range(2, 40):
+        rows.append((i, [float(x) for x in rng.standard_normal(64)]))
+    rows.append((40, [0.0] * 64))  # zero vector: excluded from both paths
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    got = {(r.id_a, r.id_b): r.sim
+           for r in embedding_sim_pairs(emb, min_sim=0.9).collect()}
+    assert (0, 1) in got and got[(0, 1)] >= 0.99
+    # brute force over the float32-stored values (what the engine reads)
+    V = {i: np.asarray(v, dtype=np.float32).astype(np.float64) for i, v in rows}
+    want = {}
+    for a in range(41):
+        for b in range(a + 1, 41):
+            na, nb = np.linalg.norm(V[a]), np.linalg.norm(V[b])
+            if na == 0 or nb == 0:
+                continue
+            s = float(np.round(V[a] @ V[b] / (na * nb), 4))
+            if s >= 0.9:
+                want[(a, b)] = s
+    assert got == want
+
+    lsh = {(r.id_a, r.id_b): r.sim
+           for r in embedding_sim_pairs(emb, min_sim=0.9, method="lsh").collect()}
+    assert set(lsh) <= set(got) and (0, 1) in lsh
+    assert embedding_sim_subset_gate(emb, min_sim=0.9).count() == 0
