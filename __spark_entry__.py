@@ -95,7 +95,9 @@ def _q_dup_clusters_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     # hash-gated: its input is the already-DuckDB-green exact n-gram
     # Jaccard edge set, so DuckDB can verify the clustering itself via a
     # recursive-CTE transitive closure.
-    edges = ngram_jaccard_pairs(_docs(spark, sf_dir), k=5, min_jaccard=0.5, max_df=100)
+    edges = ngram_jaccard_pairs(
+        _docs(spark, sf_dir), k=5, min_jaccard=0.5, max_df=100, key="gram"
+    )
     comp = connected_components(edges, a_col="doc_a", b_col="doc_b")
     return comp.select(F.col("node").alias("doc_id"), "cluster_id")
 
@@ -114,7 +116,12 @@ def _q_exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return ngram_jaccard_pairs(_docs(spark, sf_dir), k=5, min_jaccard=0.5, max_df=100)
+    # key="gram" for bit-exact DuckDB parity; the function's default is
+    # key="hash" (8-byte shuffle keys — the scale path; both modes
+    # pinned equal in tests/test_functions.py).
+    return ngram_jaccard_pairs(
+        _docs(spark, sf_dir), k=5, min_jaccard=0.5, max_df=100, key="gram"
+    )
 
 
 def _q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:

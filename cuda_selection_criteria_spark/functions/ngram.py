@@ -21,12 +21,16 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def doc_shingles(documents: DataFrame, k: int) -> DataFrame:
+def doc_shingles(documents: DataFrame, k: int, hashed: bool = False) -> DataFrame:
     """(doc_id, s): the distinct k-char shingle set per document.
+
+    ``hashed=True`` maps each shingle to xxhash64 BEFORE the distinct,
+    so even the dedup shuffle carries 8-byte keys (the scale mode; the
+    gates keep raw grams — they join shingles back to documents).
 
     Guard: Spark's sequence(1, 0) generates a DESCENDING range, so
     short texts must produce an empty array explicitly."""
-    return documents.select(
+    out = documents.select(
         "doc_id",
         F.explode(
             F.expr(
@@ -36,7 +40,10 @@ def doc_shingles(documents: DataFrame, k: int) -> DataFrame:
                 f"ELSE array() END"
             )
         ).alias("s"),
-    ).distinct()
+    )
+    if hashed:
+        out = out.select("doc_id", F.xxhash64("s").alias("s"))
+    return out.distinct()
 
 
 def ngram_jaccard_pairs(
@@ -44,10 +51,21 @@ def ngram_jaccard_pairs(
     k: int = 5,
     min_jaccard: float = 0.5,
     max_df: int | None = 100,
+    key: str = "hash",
 ) -> DataFrame:
     """(doc_a, doc_b, inter_n, union_n, jaccard) for pairs with
-    rare-shingle k-gram Jaccard >= min_jaccard, doc_a < doc_b."""
-    sh = doc_shingles(documents, k)
+    rare-shingle k-gram Jaccard >= min_jaccard, doc_a < doc_b.
+
+    ``key``: "hash" (scale default) replaces each k-char shingle with
+    xxhash64(shingle) immediately after the explode, so the distinct /
+    document-frequency / intersection shuffles all carry 8-byte keys
+    instead of k-char strings (the functions/substr.py key discipline).
+    Set identity is preserved up to a 2^-64 per-pair hash collision,
+    which would only perturb one count. "gram" keeps raw shingles for
+    bit-exact DuckDB oracle parity (the driver query's mode); both
+    modes are pinned equal on the test corpus.
+    """
+    sh = doc_shingles(documents, k, hashed=(key == "hash"))
     if max_df is not None:
         cap = max_df  # ABSOLUTE cap: join fanout per shingle bounded by
         # max_df^2 regardless of corpus size (a fractional cap would make

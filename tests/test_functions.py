@@ -74,3 +74,18 @@ def test_embedding_knn(spark):
     rows = {r.vec_id: r.neighbor_id for r in embedding_knn(df).collect()}
     assert rows[0] == 1 and rows[1] == 0
     assert 3 not in rows
+
+
+def test_ngram_jaccard_hash_key_matches_gram(spark):
+    """key='hash' (8-byte shuffle keys, scale default) must reproduce
+    the key='gram' result exactly on the corpus."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    gram = {
+        (r.doc_a, r.doc_b): (r.inter_n, r.union_n, r.jaccard)
+        for r in ngram_jaccard_pairs(docs, k=5, min_jaccard=0.5, max_df=100, key="gram").collect()
+    }
+    hashed = {
+        (r.doc_a, r.doc_b): (r.inter_n, r.union_n, r.jaccard)
+        for r in ngram_jaccard_pairs(docs, k=5, min_jaccard=0.5, max_df=100, key="hash").collect()
+    }
+    assert gram == hashed and len(gram) > 0
