@@ -164,6 +164,10 @@ def cmd_textops(args) -> None:
         from .functions import embedding_lsh_candidates
 
         df = embedding_lsh_candidates(src)
+    elif args.op == "simpairs":
+        from .functions import embedding_sim_pairs
+
+        df = embedding_sim_pairs(src, min_sim=args.min_sim, method=args.sim_method)
     else:  # pragma: no cover - argparse choices guard this
         raise SystemExit(f"unknown op {args.op}")
     df.write.mode("overwrite").parquet(args.output)
@@ -240,7 +244,18 @@ def main(argv=None) -> None:
     t.add_argument(
         "--op",
         required=True,
-        choices=["exact", "ngram", "simhash", "winnow", "spans", "knn", "ivf", "lsh"],
+        choices=[
+            "exact", "ngram", "simhash", "winnow", "spans", "knn", "ivf", "lsh",
+            "simpairs",
+        ],
+    )
+    t.add_argument("--min-sim", type=float, default=0.45, help="simpairs cosine threshold")
+    t.add_argument(
+        "--sim-method",
+        choices=["exact", "lsh"],
+        default="exact",
+        help="simpairs: exact = all-pairs broadcast matmul (bounded); "
+        "lsh = hyperplane candidates + exact verify (scale path)",
     )
     t.add_argument("--ngram-k", type=int, default=5)
     t.add_argument("--min-jaccard", type=float, default=0.5)

@@ -85,3 +85,16 @@ def test_cli_dedup_criterion_flag(spark, tmp_path):
         cli.main(
             ["dedup", "--input", corpus, "--warehouse", wh2, "-c", "hll_a", "--resume"]
         )
+
+
+def test_cli_textops_simpairs(spark, tmp_path):
+    from cuda_selection_criteria_spark import cli
+
+    out = str(tmp_path / "simpairs")
+    cli.main([
+        "textops", "--input", "/root/testdata/sf0.001/embeddings.parquet",
+        "--output", out, "--op", "simpairs", "--min-sim", "0.4",
+    ])
+    df = spark.read.parquet(out)
+    assert {f.name for f in df.schema.fields} == {"id_a", "id_b", "sim"}
+    assert df.count() > 0
