@@ -33,6 +33,7 @@ from cuda_selection_criteria_spark.functions import (
 )
 from cuda_selection_criteria_spark.functions import embedding_sim_pairs
 from cuda_selection_criteria_spark.functions.gates import (
+    ann_topk_upper_bound_gate,
     ann_upper_bound_gate,
     cc_diff_gate,
     dup_pairs_jaccard_gate,
@@ -235,6 +236,28 @@ def _q_winnow_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnow_guarantee_gate(_docs(spark, sf_dir), k=16, w=8)
 
 
+def _q_embedding_knn_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # brute-force cosine top-k baseline (rank by sim desc, id asc) —
+    # fully SQL-expressible, hash-gated.
+    return embedding_knn(spark.read.parquet(f"{sf_dir}/embeddings.parquet"), k=5)
+
+
+def _q_embedding_ivf_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # IVF approximate top-k (rows-only; rank-wise upper bound gated
+    # below).
+    return embedding_ivf_topk(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet"), k=5
+    )
+
+
+def _q_ann_topk_bound_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # rank-wise ANN upper-bound violations (expected empty): at every
+    # rank r, IVF's r-th best sim <= exact r-th best (subset search).
+    return ann_topk_upper_bound_gate(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet"), k=5
+    )
+
+
 def _q_ann_bound_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ANN upper-bound violations (expected empty): IVF top-1 cosine can
     # never exceed the exact brute-force top-1 (subset search).
@@ -428,6 +451,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_guarantee_gate": _q_winnow_gate,
         "duplicated_spans": _q_duplicated_spans,
         "embedding_ivf_topk": _q_embedding_ivf,
+        "embedding_knn_top5": _q_embedding_knn_top5,
+        "embedding_ivf_top5": _q_embedding_ivf_top5,
+        "ann_topk_upper_bound_gate": _q_ann_topk_bound_gate,
         "ann_upper_bound_gate": _q_ann_bound_gate,
         "simhash_recall_gate": _q_simhash_recall_gate,
         "simhash_precision_gate": _q_simhash_precision_gate,
@@ -561,6 +587,29 @@ def oracle_sql() -> dict[str, str]:
               SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, neighbor_id ASC) AS rn
               FROM p
             ) WHERE rn = 1
+        """,
+        "embedding_knn_top5": """
+            WITH e AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+              FROM embeddings
+              WHERE list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])) > 0
+            ),
+            p AS (
+              SELECT a.vec_id, b.vec_id AS neighbor_id,
+                     round(list_cosine_similarity(a.v, b.v), 4) AS sim
+              FROM e a, e b WHERE a.vec_id != b.vec_id
+            )
+            SELECT vec_id, neighbor_id, sim, rn AS rank FROM (
+              SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, neighbor_id ASC) AS rn
+              FROM p
+            ) WHERE rn <= 5
+        """,
+        "ann_topk_upper_bound_gate": """
+            SELECT CAST(NULL AS BIGINT) AS vec_id,
+                   CAST(NULL AS BIGINT) AS rank,
+                   CAST(NULL AS BIGINT) AS ivf_sim_x1e6,
+                   CAST(NULL AS BIGINT) AS exact_sim_x1e6
+            WHERE FALSE
         """,
         "embedding_sim_pairs": """
             WITH e AS (

@@ -362,6 +362,39 @@ def lsh_recall_gate(embeddings: DataFrame, **lsh_kwargs) -> DataFrame:
     )
 
 
+def ann_topk_upper_bound_gate(
+    embeddings: DataFrame, k: int = 5, eps: float = 1e-4
+) -> DataFrame:
+    """(vec_id, rank, ivf_sim_x1e6, exact_sim_x1e6): rank-wise ANN
+    upper-bound violations — expected empty.
+
+    IVF searches a SUBSET of the corpus, so for every rank r its r-th
+    best similarity can never exceed the exact brute-force r-th best
+    (the r-th largest of a subset <= the r-th largest of the superset;
+    holds under identical rounding). Generalizes ann_upper_bound_gate
+    from top-1 to the full top-k surface.
+    """
+    from .ivf import embedding_ivf_topk
+    from .similarity import embedding_knn
+
+    exact = embedding_knn(embeddings, k=k).select(
+        "vec_id", "rank", F.col("sim").alias("exact_sim")
+    )
+    approx = embedding_ivf_topk(embeddings, k=k).select(
+        "vec_id", "rank", F.col("sim").alias("ivf_sim")
+    )
+    return (
+        approx.join(exact, ["vec_id", "rank"])
+        .where(F.col("ivf_sim") > F.col("exact_sim") + F.lit(eps))
+        .select(
+            "vec_id",
+            "rank",
+            F.floor(F.col("ivf_sim") * 1e6).cast("long").alias("ivf_sim_x1e6"),
+            F.floor(F.col("exact_sim") * 1e6).cast("long").alias("exact_sim_x1e6"),
+        )
+    )
+
+
 def embedding_sim_subset_gate(
     embeddings: DataFrame, min_sim: float = 0.45
 ) -> DataFrame:

@@ -55,7 +55,12 @@ def embedding_ivf_topk(
     round_digits: int = 4,
     max_cell: int = 4096,
 ) -> DataFrame:
-    """(vec_id, neighbor_id, sim): approximate cosine top-1 via IVF.
+    """(vec_id, neighbor_id, sim): approximate cosine top-1 via IVF;
+    with ``k > 1``, (vec_id, neighbor_id, sim, rank) — approximate
+    top-k (rank by sim desc, neighbor_id asc). Per block each query
+    keeps its local top-k; the global top-k is a subset of the union
+    of block top-ks, so the merge below is exact over the probed
+    cells. The k == 1 schema is kept rank-free for record parity.
 
     Centroids train on a deterministic sample collected to the driver
     (tiny: sample_n x dim floats) and broadcast; assignment +
@@ -147,24 +152,52 @@ def embedding_ivf_topk(
         S = Q @ M.T
         S[q_ids[:, None] == m_ids[None, :]] = -np.inf
         Sr = np.round(S, round_digits)
-        best = Sr.max(axis=1)
-        out_n = np.zeros(len(q_ids), dtype=np.int64)
-        keep = np.isfinite(best)
-        for i in np.nonzero(keep)[0]:
-            out_n[i] = m_ids[np.nonzero(Sr[i] == best[i])[0]].min()
+        if k == 1:
+            best = Sr.max(axis=1)
+            out_n = np.zeros(len(q_ids), dtype=np.int64)
+            keep = np.isfinite(best)
+            for i in np.nonzero(keep)[0]:
+                out_n[i] = m_ids[np.nonzero(Sr[i] == best[i])[0]].min()
+            return pd.DataFrame(
+                {"vec_id": q_ids[keep], "neighbor_id": out_n[keep], "sim": best[keep]}
+            )
+        # local top-k per block (ids ascending -> stable argsort of -sim
+        # ranks ties by smallest neighbor id; m_ids come sorted? not
+        # guaranteed — sort columns by id first so stability holds)
+        m_order = np.argsort(m_ids, kind="stable")
+        m_ids_s = m_ids[m_order]
+        Sr = Sr[:, m_order]
+        order = np.argsort(-Sr, axis=1, kind="stable")[:, :k]
+        sims_k = np.take_along_axis(Sr, order, axis=1)
+        ids_k = m_ids_s[order]
+        keep = np.isfinite(sims_k).ravel()
         return pd.DataFrame(
-            {"vec_id": q_ids[keep], "neighbor_id": out_n[keep], "sim": best[keep]}
+            {
+                "vec_id": np.repeat(q_ids, order.shape[1])[keep],
+                "neighbor_id": ids_k.ravel()[keep],
+                "sim": sims_k.ravel()[keep],
+            }
         )
 
     per_cell = blocked.groupBy("cell", "blk").applyInPandas(
         search, schema="vec_id long, neighbor_id long, sim double"
     )
-    # a vector probed into multiple cells: keep its best neighbor
     from pyspark.sql import Window
 
     w = Window.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
+    if k == 1:
+        # a vector probed into multiple cells: keep its best neighbor
+        return (
+            per_cell.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .select("vec_id", "neighbor_id", "sim")
+        )
+    # k > 1: the same (query, neighbor) pair can surface from both
+    # probed cells of the neighbor — dedup before ranking so it can't
+    # occupy two ranks
     return (
-        per_cell.withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") == 1)
-        .select("vec_id", "neighbor_id", "sim")
+        per_cell.dropDuplicates(["vec_id", "neighbor_id"])
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("vec_id", "neighbor_id", "sim", F.col("rank").cast("long").alias("rank"))
     )

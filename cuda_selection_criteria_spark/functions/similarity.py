@@ -34,8 +34,12 @@ def embedding_knn(
     round_digits: int = 4,
     max_broadcast_rows: int = 200_000,
     approx_fallback: bool = False,
+    k: int = 1,
 ) -> DataFrame:
-    """(vec_id, neighbor_id, sim) — cosine top-1 per vector.
+    """(vec_id, neighbor_id, sim) — cosine top-1 per vector; with
+    ``k > 1``, (vec_id, neighbor_id, sim, rank) — the cosine top-k,
+    rank 1..k ordered by (sim desc, neighbor_id asc). The k == 1
+    schema is kept rank-free for record compatibility.
 
     Brute-force exact baseline as broadcast + blocked BLAS matmul: the
     (small) full matrix broadcasts to every task; each Arrow batch
@@ -69,9 +73,8 @@ def embedding_knn(
             )
         from .ivf import embedding_ivf_topk
 
-        return embedding_ivf_topk(embeddings).select(
-            "vec_id", "neighbor_id", "sim"
-        )
+        cols = ["vec_id", "neighbor_id", "sim"] + (["rank"] if k > 1 else [])
+        return embedding_ivf_topk(embeddings, k=k).select(*cols)
     ids = np.array([r.vec_id for r in rows], dtype=np.int64)
     V = np.array([np.asarray(r.embedding, dtype=np.float64) for r in rows])
     norms = np.sqrt((V * V).sum(axis=1))
@@ -99,15 +102,34 @@ def embedding_knn(
             S = (q @ b_V.T) / np.outer(qn, b_norms)
             S[qids[:, None] == b_ids[None, :]] = -np.inf  # exclude self
             Sr = np.round(S, round_digits)
-            best = Sr.max(axis=1)
-            # b_ids are sorted ascending, so argmax of the tie mask =
-            # first tie = smallest neighbor id (no per-row Python loop)
-            out_n = b_ids[np.argmax(Sr == best[:, None], axis=1)]
-            yield pd.DataFrame({"vec_id": qids, "neighbor_id": out_n, "sim": best})
+            if k == 1:
+                best = Sr.max(axis=1)
+                # b_ids are sorted ascending, so argmax of the tie mask =
+                # first tie = smallest neighbor id (no per-row Python loop)
+                out_n = b_ids[np.argmax(Sr == best[:, None], axis=1)]
+                yield pd.DataFrame({"vec_id": qids, "neighbor_id": out_n, "sim": best})
+                continue
+            # top-k: STABLE argsort of -sim keeps column (= ascending
+            # neighbor id) order within ties — (sim desc, id asc) ranks
+            # with no per-row Python
+            order = np.argsort(-Sr, axis=1, kind="stable")[:, :k]
+            sims_k = np.take_along_axis(Sr, order, axis=1)
+            ids_k = b_ids[order]
+            ranks = np.broadcast_to(np.arange(1, order.shape[1] + 1), order.shape)
+            keep = np.isfinite(sims_k).ravel()
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.repeat(qids, order.shape[1])[keep],
+                    "neighbor_id": ids_k.ravel()[keep],
+                    "sim": sims_k.ravel()[keep],
+                    "rank": ranks.ravel()[keep].astype(np.int64),
+                }
+            )
 
-    return embeddings.select("vec_id", "embedding").mapInPandas(
-        fn, schema="vec_id long, neighbor_id long, sim double"
+    schema = "vec_id long, neighbor_id long, sim double" + (
+        ", rank long" if k > 1 else ""
     )
+    return embeddings.select("vec_id", "embedding").mapInPandas(fn, schema=schema)
 
 
 def embedding_sim_pairs(

@@ -378,3 +378,28 @@ def test_embedding_sim_pairs_exact_lsh_and_gate(spark):
            for r in embedding_sim_pairs(emb, min_sim=0.9, method="lsh").collect()}
     assert set(lsh) <= set(got) and (0, 1) in lsh
     assert embedding_sim_subset_gate(emb, min_sim=0.9).count() == 0
+
+
+# ------------------------------------------------ cosine top-k
+
+def test_embedding_knn_topk_matches_bruteforce(spark):
+    from cuda_selection_criteria_spark.functions.similarity import embedding_knn
+
+    rng = np.random.default_rng(11)
+    rows = [(i, [float(x) for x in rng.standard_normal(16)]) for i in range(30)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {
+        (r.vec_id, r.rank): (r.neighbor_id, r.sim)
+        for r in embedding_knn(emb, k=4).collect()
+    }
+    V = {i: np.asarray(v, dtype=np.float32).astype(np.float64) for i, v in rows}
+    for q in range(30):
+        sims = []
+        for m in range(30):
+            if m == q:
+                continue
+            s = float(np.round(V[q] @ V[m] / (np.linalg.norm(V[q]) * np.linalg.norm(V[m])), 4))
+            sims.append((-s, m))
+        sims.sort()
+        for r, (negs, m) in enumerate(sims[:4], start=1):
+            assert got[(q, r)] == (m, -negs), (q, r)
