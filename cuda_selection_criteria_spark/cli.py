@@ -155,11 +155,11 @@ def cmd_textops(args) -> None:
     elif args.op == "knn":
         from .functions import embedding_knn
 
-        df = embedding_knn(src)
+        df = embedding_knn(src, k=args.k)
     elif args.op == "ivf":
         from .functions.ivf import embedding_ivf_topk
 
-        df = embedding_ivf_topk(src)
+        df = embedding_ivf_topk(src, k=args.k)
     elif args.op == "lsh":
         from .functions import embedding_lsh_candidates
 
@@ -250,6 +250,7 @@ def main(argv=None) -> None:
         ],
     )
     t.add_argument("--min-sim", type=float, default=0.45, help="simpairs cosine threshold")
+    t.add_argument("--k", type=int, default=1, help="knn/ivf: neighbors per vector")
     t.add_argument(
         "--sim-method",
         choices=["exact", "lsh"],
