@@ -100,18 +100,22 @@ def main() -> None:
     cold_first_query_sec = None
     for name in headline + ["dup_pairs_smh_m512"]:
         t0 = time.time()
+        ok = True
         try:
             qs[name](spark, warm_sf).count()
         except Exception as e:  # warm-up must never fail the bench...
             # ...but a failed warm-up silently re-colds the first timed
             # query, so it is recorded IN the result JSON, not swallowed
+            ok = False
             warmup_errors.append(f"{name}: {e}")
             print(f"# WARMUP ERROR {name}: {e}", file=sys.stderr)
-        if name == headline[0]:
+        if name == headline[0] and ok:
             # the flagship's COLD wall (worker spawn + imports + codegen
             # JIT + malloc first-touch, at warm-up scale): quantifies
             # per-record what the untimed warm-up absorbs, keeping warm
-            # headlines comparable across records AND to cold runs
+            # headlines comparable across records AND to cold runs.
+            # Stays None if the warm-up errored — time-to-exception is
+            # not a cold wall.
             cold_first_query_sec = round(time.time() - t0, 3)
     for name in headline:
         t0 = time.time()

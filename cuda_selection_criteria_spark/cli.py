@@ -68,17 +68,9 @@ def cmd_dedup(args) -> None:
     spark = get_spark(master=args.master)
     pages = spark.read.parquet(args.input)
     t0 = time.time()
-    if args.resume and args.criterion in ("hll_a", "hll_an"):
-        # the aux criteria need the hll_aux column in the persisted
-        # sketches table; a table sketched under smh_a lacks it — fail
-        # with guidance instead of a mapInPandas KeyError mid-job
-        wh_probe = Warehouse(spark, args.warehouse)
-        if wh_probe.exists("sketches") and "hll_aux" not in wh_probe.read("sketches").columns:
-            raise SystemExit(
-                f"sketches table at {args.warehouse} has no hll_aux column; "
-                f"re-run `sketch -c {args.criterion}` (or use a fresh "
-                f"--warehouse) before `dedup -c {args.criterion} --resume`"
-            )
+    # (config-mismatched resumes — e.g. dedup -c hll_a over a warehouse
+    # sketched under smh_a — are refused by sketch_with_resume's
+    # sketch_meta identity check with accurate guidance)
     if args.resume:
         # checkpoint-resume path: sketches materialize into the
         # warehouse per part_id; a re-run after a kill skips completed

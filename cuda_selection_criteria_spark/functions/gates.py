@@ -377,12 +377,22 @@ def ann_topk_upper_bound_gate(
     from .ivf import embedding_ivf_topk
     from .similarity import embedding_knn
 
-    exact = embedding_knn(embeddings, k=k).select(
-        "vec_id", "rank", F.col("sim").alias("exact_sim")
-    )
-    approx = embedding_ivf_topk(embeddings, k=k).select(
-        "vec_id", "rank", F.col("sim").alias("ivf_sim")
-    )
+    if k == 1:
+        # the k==1 schemas are rank-free (record parity); synthesize
+        # rank 1 so the gate covers the whole k range, not k >= 2 only
+        exact = embedding_knn(embeddings, k=1).select(
+            "vec_id", F.lit(1).cast("long").alias("rank"), F.col("sim").alias("exact_sim")
+        )
+        approx = embedding_ivf_topk(embeddings, k=1).select(
+            "vec_id", F.lit(1).cast("long").alias("rank"), F.col("sim").alias("ivf_sim")
+        )
+    else:
+        exact = embedding_knn(embeddings, k=k).select(
+            "vec_id", "rank", F.col("sim").alias("exact_sim")
+        )
+        approx = embedding_ivf_topk(embeddings, k=k).select(
+            "vec_id", "rank", F.col("sim").alias("ivf_sim")
+        )
     return (
         approx.join(exact, ["vec_id", "rank"])
         .where(F.col("ivf_sim") > F.col("exact_sim") + F.lit(eps))
@@ -396,25 +406,37 @@ def ann_topk_upper_bound_gate(
 
 
 def embedding_sim_subset_gate(
-    embeddings: DataFrame, min_sim: float = 0.45
+    embeddings: DataFrame, min_sim: float = 0.45, eps: float = 1e-4
 ) -> DataFrame:
     """(id_a, id_b): violations of the LSH-verify SUBSET property —
     expected empty.
 
     The LSH near-dup path verifies its candidate pairs with the same
     rounded-cosine check the exact path applies to ALL pairs, so every
-    (pair, sim) row it emits must also appear in the exact result —
-    lsh output is a subset by construction, and any anti-join survivor
-    is a provable bug in the bucket/verify plumbing. (Recall — pairs
-    LSH may miss — is the separate lsh_recall_gate.)
+    pair it emits must appear in the exact result with (almost) the
+    same similarity — any survivor is a provable bug in the
+    bucket/verify plumbing. ``eps`` (one unit in the 4th decimal, the
+    rounding grain) absorbs the one legitimate divergence: the two
+    paths sum the dot product in different orders (blocked BLAS matmul
+    vs per-pair elementwise sum), so an unrounded value sitting
+    exactly on a rounding boundary can round one grain apart — the
+    exact side is therefore fetched at ``min_sim - eps`` and sims are
+    compared with |delta| <= eps rather than float equality. (Recall —
+    pairs LSH may miss — is the separate lsh_recall_gate.)
     """
     from .similarity import embedding_sim_pairs
 
     lsh = embedding_sim_pairs(embeddings, min_sim=min_sim, method="lsh")
-    exact = embedding_sim_pairs(embeddings, min_sim=min_sim, method="exact")
-    return lsh.join(exact, ["id_a", "id_b", "sim"], "left_anti").select(
-        "id_a", "id_b"
+    exact = embedding_sim_pairs(embeddings, min_sim=min_sim - eps, method="exact")
+    joined = lsh.join(
+        exact.select("id_a", "id_b", F.col("sim").alias("_exact_sim")),
+        ["id_a", "id_b"],
+        "left",
     )
+    return joined.where(
+        F.col("_exact_sim").isNull()
+        | (F.abs(F.col("sim") - F.col("_exact_sim")) > F.lit(eps))
+    ).select("id_a", "id_b")
 
 
 def cc_diff_gate(

@@ -194,9 +194,13 @@ def embedding_ivf_topk(
         )
     # k > 1: the same (query, neighbor) pair can surface from both
     # probed cells of the neighbor — dedup before ranking so it can't
-    # occupy two ranks
+    # occupy two ranks. groupBy max(sim), not dropDuplicates: the two
+    # appearances are scored by different-shaped matmuls whose rounded
+    # sims can differ by one grain, and dropDuplicates would keep an
+    # arbitrary one (nondeterministic across partitionings).
     return (
-        per_cell.dropDuplicates(["vec_id", "neighbor_id"])
+        per_cell.groupBy("vec_id", "neighbor_id")
+        .agg(F.max("sim").alias("sim"))
         .withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("vec_id", "neighbor_id", "sim", F.col("rank").cast("long").alias("rank"))

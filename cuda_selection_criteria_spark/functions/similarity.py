@@ -22,6 +22,33 @@ def _dot(a, b):
     )
 
 
+def _collect_broadcast_vectors(embeddings: DataFrame, max_rows: int):
+    """Gated driver-side collect of the full vector table for the
+    exact broadcast paths: drop zero norms, sort by vec_id (the stable
+    tie-break contract both knn paths rely on — ascending-id column
+    order makes stable argsorts break sim ties by smallest id),
+    broadcast (ids, vectors, norms). Returns None when the input
+    exceeds ``max_rows`` (the caller picks raise vs fallback). The
+    size probe is the limit(max+1) fold into this single collect — no
+    separate count() job."""
+    rows = embeddings.select("vec_id", "embedding").limit(max_rows + 1).collect()
+    if len(rows) > max_rows:
+        return None
+    ids = np.array([r.vec_id for r in rows], dtype=np.int64)
+    V = (
+        np.array([np.asarray(r.embedding, dtype=np.float64) for r in rows])
+        if rows
+        else np.zeros((0, 1))
+    )
+    norms = np.sqrt((V * V).sum(axis=1))
+    keep = norms > 0
+    ids, V, norms = ids[keep], V[keep], norms[keep]
+    order = np.argsort(ids, kind="stable")
+    return embeddings.sparkSession.sparkContext.broadcast(
+        (ids[order], V[order], norms[order])
+    )
+
+
 def with_norm(embeddings: DataFrame, col: str = "embedding") -> DataFrame:
     vec = F.transform(F.col(col), lambda x: x.cast("double"))
     return embeddings.withColumn("_vec", vec).withColumn(
@@ -63,8 +90,8 @@ def embedding_knn(
 
     import pandas as pd
 
-    rows = embeddings.select("vec_id", "embedding").limit(max_broadcast_rows + 1).collect()
-    if len(rows) > max_broadcast_rows:
+    bc = _collect_broadcast_vectors(embeddings, max_broadcast_rows)
+    if bc is None:
         if not approx_fallback:
             raise ValueError(
                 f"embedding_knn is the exact brute-force baseline and refuses "
@@ -75,17 +102,6 @@ def embedding_knn(
 
         cols = ["vec_id", "neighbor_id", "sim"] + (["rank"] if k > 1 else [])
         return embedding_ivf_topk(embeddings, k=k).select(*cols)
-    ids = np.array([r.vec_id for r in rows], dtype=np.int64)
-    V = np.array([np.asarray(r.embedding, dtype=np.float64) for r in rows])
-    norms = np.sqrt((V * V).sum(axis=1))
-    keep = norms > 0
-    ids_all, V_all, norms_all = ids[keep], V[keep], norms[keep]
-    # sort by id so the FIRST index among rounded-sim ties is the
-    # smallest neighbor id — lets the per-row tie-break be one argmax
-    order = np.argsort(ids_all, kind="stable")
-    ids_all, V_all, norms_all = ids_all[order], V_all[order], norms_all[order]
-    sc = embeddings.sparkSession.sparkContext
-    bc = sc.broadcast((ids_all, V_all, norms_all))
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         b_ids, b_V, b_norms = bc.value
@@ -202,20 +218,13 @@ def embedding_sim_pairs(
 
         return joined.mapInPandas(verify, schema="id_a long, id_b long, sim double")
 
-    rows = embeddings.select("vec_id", "embedding").limit(max_broadcast_rows + 1).collect()
-    if len(rows) > max_broadcast_rows:
+    bc = _collect_broadcast_vectors(embeddings, max_broadcast_rows)
+    if bc is None:
         raise ValueError(
             f"embedding_sim_pairs(method='exact') checks all pairs and refuses "
             f"inputs above max_broadcast_rows={max_broadcast_rows}; use "
             f"method='lsh' at scale"
         )
-    ids = np.array([r.vec_id for r in rows], dtype=np.int64)
-    V = np.array([np.asarray(r.embedding, dtype=np.float64) for r in rows])
-    norms = np.sqrt((V * V).sum(axis=1))
-    keep = norms > 0
-    ids_all, V_all, norms_all = ids[keep], V[keep], norms[keep]
-    sc = embeddings.sparkSession.sparkContext
-    bc = sc.broadcast((ids_all, V_all, norms_all))
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         b_ids, b_V, b_norms = bc.value

@@ -26,6 +26,10 @@ from .oracle import DedupConfig
 from .operators import sketch_pages
 
 LINEAGE_SCHEMA = "run_id string, part_id int, stage string, status string, ts timestamp"
+SKETCH_META_SCHEMA = (
+    "criterion string, shingle_k int, smh_m int, hll_p int, aux_p int,"
+    " register_encoding string, n_parts int"
+)
 METRICS_SCHEMA = (
     "run_id string, stage string, wall_s double, rows_in long, rows_out long,"
     " docs_per_sec double, parallelism int"
@@ -105,8 +109,42 @@ def sketch_with_resume(
     part_id = pmod(xxhash64(url), n_parts) — a pure function of the row,
     so re-runs assign identical parts regardless of input layout
     (checkpoint-resumable per north_rule). Returns the full sketches DF.
+
+    The sketch CONFIG is part of the table's identity: a one-row
+    ``sketch_meta`` table records (criterion, k, m, p, aux_p, encoding,
+    n_parts) at first materialization, and any later call with a
+    different config raises instead of resuming — mixing would
+    silently skip "done" parts sketched under the old config (lineage
+    is criterion-blind) and could leave a mixed-schema table (some
+    parts without hll_aux). n_parts is in the identity too: part_id is
+    a pure function of it, so a different n_parts reshuffles which
+    rows belong to which "done" part.
     """
     run_id = run_id or uuid.uuid4().hex[:12]
+    meta = (
+        cfg.criterion,
+        int(cfg.shingle_k),
+        int(cfg.smh_m),
+        int(cfg.hll_p),
+        int(cfg.aux_p),
+        cfg.register_encoding,
+        int(n_parts),
+    )
+    if wh.exists("sketch_meta"):
+        prev = tuple(wh.read("sketch_meta").collect()[0])
+        if prev != meta:
+            names = (
+                "criterion", "shingle_k", "smh_m", "hll_p", "aux_p",
+                "register_encoding", "n_parts",
+            )
+            raise ValueError(
+                f"warehouse sketches at {wh.root} were built with sketch "
+                f"config {dict(zip(names, prev))} but this run requests "
+                f"{dict(zip(names, meta))}; resume requires an identical "
+                f"config — use a fresh --warehouse to re-sketch"
+            )
+    else:
+        wh.write("sketch_meta", wh.spark.createDataFrame([meta], SKETCH_META_SCHEMA))
     done = wh.completed_parts("sketch")
     todo = sorted(set(range(n_parts)) - done)
     staged = pages.withColumn(

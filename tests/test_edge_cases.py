@@ -81,7 +81,10 @@ def test_cli_dedup_criterion_flag(spark, tmp_path):
     wh2 = str(tmp_path / "wh_smh")
     cli.main(["sketch", "--input", corpus, "--warehouse", wh2])
     assert "hll_aux" not in spark.read.parquet(f"{wh2}/sketches").columns
-    with pytest.raises(SystemExit, match="hll_aux"):
+    # the warehouse records the sketch config (sketch_meta) and refuses
+    # a config-mismatched resume — a "re-run sketch" under the new
+    # criterion would be a silent no-op (lineage is criterion-blind)
+    with pytest.raises(ValueError, match="identical.*config|sketch.*config"):
         cli.main(
             ["dedup", "--input", corpus, "--warehouse", wh2, "-c", "hll_a", "--resume"]
         )

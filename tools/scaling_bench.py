@@ -49,26 +49,13 @@ CPUSET_HI = set(range(N_HI))
 
 
 def _host_probe() -> float:
-    """Single-process kernel docs/s (the bench.py probe, same mix)."""
-    import numpy as np
+    """Single-process kernel docs/s — THE bench.py probe (one
+    implementation: the calm/depressed thresholds are calibrated to
+    that exact kernel mix, so a drifted copy would silently decalibrate
+    scaling records against bench records)."""
+    from bench import host_probe
 
-    from cuda_selection_criteria_spark.corpus import generate_pages
-    from cuda_selection_criteria_spark.sketchlib.batch import (
-        hll_cards_encode_batch,
-        superminhash_batch,
-    )
-    from cuda_selection_criteria_spark.sketchlib.hashes import shingle_hashes
-
-    rows, _ = generate_pages(1024, 42)
-    texts = [r.text for r in rows]
-    t0 = time.time()
-    sets = [shingle_hashes(t, 31) for t in texts]
-    counts = np.array([s.size for s in sets], dtype=np.int64)
-    items = np.concatenate([s for s in sets if s.size])
-    didx = np.repeat(np.arange(len(texts), dtype=np.int64), counts)
-    hll_cards_encode_batch(items, didx, len(texts), 14)
-    superminhash_batch(items, didx, len(texts), 64)
-    return round(len(texts) / (time.time() - t0), 1)
+    return host_probe()
 
 
 def main() -> None:
@@ -244,8 +231,19 @@ def write_report() -> None:
     history = [json.loads(l) for l in open(hist_path) if l.strip()]
     best_run = history[-1]
     head_rev = best_run["rev"]
+    # same measurement = same CODE (path-identical rev) and same
+    # WORKLOAD (rows, N, 4N): efficiency depends on problem size (fixed
+    # per-leg costs amortize with rows), so a 200k-row run is a
+    # different measurement from the 100k-row ones even at the same rev
+    # — it stays in the history table (with its rows column), not in
+    # the headline group.
     head_runs = [
-        r for r in history if _measurement_path_identical(r["rev"], head_rev)
+        r
+        for r in history
+        if _measurement_path_identical(r["rev"], head_rev)
+        and r.get("rows") == best_run.get("rows")
+        and r["n_lo"] == best_run["n_lo"]
+        and r["n_hi"] == best_run["n_hi"]
     ]
     head_medians = [r["eff_median"] for r in head_runs]
     headline_eff = statistics.median(head_medians)
@@ -284,14 +282,17 @@ Legs alternate N,4N x{N_REPEATS}; efficiency per adjacent pair; all
 runs produced identical dup_pairs: {same}.
 
 **Headline rule (round 4): the MEDIAN of run-medians across ALL
-{len(head_runs)} run(s) whose recorded rev is measurement-path-identical
-to the newest run's rev ({head_rev}: run-medians
-{sorted(head_medians)}). Never a post-hoc selection: the group is
-fixed by code identity of the measured files (`git diff <rev>..{head_rev}
---` over corpus/session/sketchlib/operators{{sketch,candidates,verify}}/
-pipeline is empty — checkable) and every run in the group counts.**
-The leg table below shows the latest of those runs (run
-{len(history) - 1}). Full history below; nothing discarded.
+{len(head_runs)} run(s) of the same measurement — same CODE (recorded
+rev measurement-path-identical to the newest run's rev {head_rev}:
+`git diff <rev>..{head_rev} --` over corpus/session/sketchlib/
+operators{{sketch,candidates,verify}}/pipeline is empty — checkable)
+AND same WORKLOAD (rows={best_run.get('rows')}, N={n_lo}, 4N={n_hi};
+efficiency depends on problem size, so different-rows runs are
+different measurements and stay in the history table only).
+Run-medians in the group: {sorted(head_medians)}. Never a post-hoc
+selection: the group is fixed by code+workload identity and every run
+in it counts.** The leg table below shows the latest of those runs
+(run {len(history) - 1}). Full history below; nothing discarded.
 
 | leg | parallelism | dedup wall_s | docs/sec (MinHash+LSH) | clustering wall_s |
 |---|---|---|---|---|
