@@ -156,29 +156,51 @@ def _q_embedding_sim_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_sim_pairs(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
 
 
+def _embeddings_with_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embeddings table + one planted near-identical vector pair.
+
+    The synthetic corpus has no near-identical vectors (max pair cosine
+    ~0.5), so at the real dedup threshold (0.45+) the LSH path would
+    emit nothing through 16-bit buckets and the subset gate would be
+    vacuous. Two deterministic vectors at cosine ~0.9999 (identical
+    hyperplane signs in every table by construction) make the lsh query
+    emit at the REAL threshold instead of a lowered probe threshold
+    (VERDICT r4 next-round #8). Plant ids sit far above corpus ids."""
+    import math
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    dim = 64
+    v1 = [math.sin(0.37 * i + 1.0) for i in range(dim)]
+    v2 = [x * (1.0 + 0.0003 * ((i % 3) - 1)) for i, x in enumerate(v1)]
+    planted = spark.createDataFrame(
+        [(90_000_001, v1), (90_000_002, v2)], "vec_id long, embedding array<float>"
+    )
+    return emb.unionByName(planted)
+
+
 def _q_embedding_sim_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the 100TB path: hyperplane-LSH candidates -> exact cosine verify
     # on candidates only (O(candidates), no N^2). Emitted (pair, sim)
     # rows are a SUBSET of the exact result by construction — pinned by
     # embedding_sim_subset_gate below; recall pinned by lsh_recall_gate.
-    # min_sim=0.2 here: the test corpus has no near-identical vectors
-    # (max pair sim ~0.5), so the dedup threshold (0.45+) would emit
-    # nothing through 16-bit buckets; 0.2 exercises the verify path on
-    # real collisions (3 rows at sf0.01) and keeps the subset gate
-    # non-vacuous.
+    # Runs at the REAL dedup threshold (0.45) against the planted-pair
+    # corpus (see _embeddings_with_planted).
     return embedding_sim_pairs(
-        spark.read.parquet(f"{sf_dir}/embeddings.parquet"),
-        min_sim=0.2,
+        _embeddings_with_planted(spark, sf_dir),
+        min_sim=0.45,
         method="lsh",
     )
 
 
 def _q_embedding_sim_subset_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # subset violations (expected empty): LSH-verified pairs not in the
-    # exact pair set would be provable bucket/verify bugs. Same
-    # min_sim as the lsh query so the checked set is the emitted set.
+    # exact pair set would be provable bucket/verify bugs. Same input
+    # and min_sim as the lsh query so the checked set is the emitted
+    # set — non-vacuous because the planted pair IS emitted at 0.45.
     return embedding_sim_subset_gate(
-        spark.read.parquet(f"{sf_dir}/embeddings.parquet"), min_sim=0.2
+        _embeddings_with_planted(spark, sf_dir), min_sim=0.45
     )
 
 
@@ -299,11 +321,20 @@ def _q_dup_pairs_hll_a(spark: SparkSession, sf_dir: str) -> DataFrame:
     # of the reference's sorted + prefix-break scan) -> hll_a aux
     # criterion -> HLL verify. Sketch decisions are non-SQL -> rows-only;
     # the containment gate below is the hash-green pin.
-    return dedup_pipeline(_docs_as_pages(spark, sf_dir), _hll_cfg("hll_a")).dup_pairs
+    # salt_target: the r5 flood guard is ON in the gated path (pair-set
+    # preserving — tests/test_round5.py pins salted == unsalted; at
+    # sf0.01 bucket loads sit far below the target so s=1 everywhere,
+    # at 10^12 docs it spreads hot log-cardinality buckets over s^2
+    # keys instead of one quadratic straggler)
+    return dedup_pipeline(
+        _docs_as_pages(spark, sf_dir), _hll_cfg("hll_a"), salt_target=4096
+    ).dup_pairs
 
 
 def _q_dup_pairs_hll_an(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup_pipeline(_docs_as_pages(spark, sf_dir), _hll_cfg("hll_an")).dup_pairs
+    return dedup_pipeline(
+        _docs_as_pages(spark, sf_dir), _hll_cfg("hll_an"), salt_target=4096
+    ).dup_pairs
 
 
 def _q_dup_pairs_hll_a_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -395,7 +426,11 @@ def _q_streaming_batch_cc_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream_pairs = run_available_now(
         cands, f"neardup_gate_{uuid.uuid4().hex[:8]}", expect_single_batch=True
     ).dropDuplicates(["id_a", "id_b"])
-    sk = sketch_pages(_docs_as_pages(spark, sf_dir), cfg)
+    # id_mode="hash": the diff compares node ids across two INDEPENDENT
+    # materializations (stream vs batch), so both sides need the
+    # pure-function id (streaming always hashes; dense batch ids would
+    # live in a different id space and the diff would fire everywhere)
+    sk = sketch_pages(_docs_as_pages(spark, sf_dir), cfg, id_mode="hash")
     batch_pairs = candidate_pairs(sk, cfg, bucket_pairing="star")
     return cc_diff_gate(stream_pairs, batch_pairs)
 

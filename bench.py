@@ -117,34 +117,42 @@ def main() -> None:
             # Stays None if the warm-up errored — time-to-exception is
             # not a cold wall.
             cold_first_query_sec = round(time.time() - t0, 3)
-    for name in headline:
+    def timed_pass() -> dict:
+        timings: dict[str, float] = {}
+        for name in headline:
+            t0 = time.time()
+            df = qs[name](spark, SF_DIR)
+            n = df.count()  # force full execution
+            timings[name] = round(time.time() - t0, 3)
+            print(f"# {name}: {n} rows in {timings[name]}s", file=sys.stderr)
+        total = round(sum(timings.values()), 3)
+        dedup_wall = timings["dup_pairs_smh"] + timings["dup_clusters_smh"]
+        # reference bench config m=512 (run_time_experiment.sh:10), timed
+        # OUTSIDE the headline total so `value` stays round-comparable
         t0 = time.time()
-        df = qs[name](spark, SF_DIR)
-        n = df.count()  # force full execution
-        timings[name] = round(time.time() - t0, 3)
-        print(f"# {name}: {n} rows in {timings[name]}s", file=sys.stderr)
+        n512 = qs["dup_pairs_smh_m512"](spark, SF_DIR).count()
+        m512_sec = round(time.time() - t0, 3)
+        print(f"# dup_pairs_smh_m512: {n512} rows in {m512_sec}s", file=sys.stderr)
+        return {
+            "value": total,
+            "queries": timings,
+            "docs_per_sec_dedup": round(n_docs / dedup_wall, 1) if dedup_wall else None,
+            "dedup_m512_sec": m512_sec,
+        }
 
-    total = round(sum(timings.values()), 3)
-    dedup_wall = timings["dup_pairs_smh"] + timings["dup_clusters_smh"]
-    # reference bench config m=512 (run_time_experiment.sh:10), timed
-    # OUTSIDE the headline total so `value` stays round-comparable
-    t0 = time.time()
-    n512 = qs["dup_pairs_smh_m512"](spark, SF_DIR).count()
-    m512_sec = round(time.time() - t0, 3)
-    print(f"# dup_pairs_smh_m512: {n512} rows in {m512_sec}s", file=sys.stderr)
+    first = timed_pass()
+    probe_after = host_probe()
+    probes = [probe_before, probe_after]
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     result = {
         "metric": "headline_total_sec",
-        "value": total,
         "unit": "sec",
-        "queries": timings,
         "sf": float(sf),
-        "docs_per_sec_dedup": round(n_docs / dedup_wall, 1) if dedup_wall else None,
-        "dedup_m512_sec": m512_sec,
         "cpus": int(CPUS),
+        **first,
         # single-proc kernel docs/s before/after the timed loop (calm
         # ~347; <=200 = depressed hypervisor phase — see NOTES_r3.md)
-        "host_probe_docs_per_sec": [probe_before, host_probe()],
+        "host_probe_docs_per_sec": probes,
         # cold wall of the first warm-up flagship run (at warmup_sf):
         # the one-time costs the untimed warm-up keeps out of the
         # headline, measured per record rather than asserted
@@ -152,6 +160,21 @@ def main() -> None:
         "warmup_sf_dir": warm_sf,
         "warmup_errors": warmup_errors,
     }
+    if probe_after <= 200:
+        # depressed hypervisor phase DURING the timed loop (r4: the
+        # driver record landed at probe 103 and stood alone as a 2.7x
+        # phantom regression). Re-run the timed loop ONCE and append
+        # both — the first pass stays the official `value` (never
+        # replaced), the rerun + its probes make the record
+        # self-documenting about the phase.
+        print(
+            f"# post-run probe {probe_after} <= 200 (depressed phase): "
+            "re-running timed loop once; recording both",
+            file=sys.stderr,
+        )
+        rerun = timed_pass()
+        rerun["host_probe_docs_per_sec"] = [probe_after, host_probe()]
+        result["depressed_phase_rerun"] = rerun
     print(json.dumps(result))
     spark.stop()
 

@@ -130,7 +130,11 @@ def cmd_textops(args) -> None:
         from .functions import ngram_jaccard_pairs
 
         df = ngram_jaccard_pairs(
-            src, k=args.ngram_k, min_jaccard=args.min_jaccard, max_df=args.max_df
+            src,
+            k=args.ngram_k,
+            min_jaccard=args.min_jaccard,
+            max_df=args.max_df,
+            key=args.ngram_key,
         )
     elif args.op == "simhash":
         from .functions import simhash_pairs
@@ -251,6 +255,16 @@ def main(argv=None) -> None:
         "lsh = hyperplane candidates + exact verify (scale path)",
     )
     t.add_argument("--ngram-k", type=int, default=5)
+    t.add_argument(
+        "--ngram-key",
+        choices=["hash", "gram"],
+        default="hash",
+        help="ngram: shingle key for the distinct/df/intersection "
+        "shuffles. 'hash' (default since round 4 — note: a DEFAULT "
+        "FLIP from the earlier bit-exact 'gram') carries 8-byte "
+        "xxhash64 keys, exact up to a 2^-64 per-pair collision; "
+        "'gram' keeps raw k-char shingles for bit-exact results",
+    )
     t.add_argument("--min-jaccard", type=float, default=0.5)
     t.add_argument("--max-df", type=int, default=100)
     t.add_argument("--max-hamming", type=int, default=3)

@@ -20,6 +20,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .similarity import round_half_away
+
 
 def _train_centroids(V: np.ndarray, n_cells: int, seed: int, iters: int = 10) -> np.ndarray:
     rng = np.random.default_rng(seed)
@@ -151,13 +153,17 @@ def embedding_ivf_topk(
         Q = np.array([np.asarray(v, dtype=np.float64) for v in q["vec"]])
         S = Q @ M.T
         S[q_ids[:, None] == m_ids[None, :]] = -np.inf
-        Sr = np.round(S, round_digits)
+        Sr = round_half_away(S, round_digits)
         if k == 1:
+            # tie-break = smallest member id among the max entries:
+            # sort columns by id, then argmax of the equality mask picks
+            # the first (= smallest-id) max — no per-row Python loop
+            m_order = np.argsort(m_ids, kind="stable")
+            m_ids_s = m_ids[m_order]
+            Sr = Sr[:, m_order]
             best = Sr.max(axis=1)
-            out_n = np.zeros(len(q_ids), dtype=np.int64)
             keep = np.isfinite(best)
-            for i in np.nonzero(keep)[0]:
-                out_n[i] = m_ids[np.nonzero(Sr[i] == best[i])[0]].min()
+            out_n = m_ids_s[np.argmax(Sr == best[:, None], axis=1)]
             return pd.DataFrame(
                 {"vec_id": q_ids[keep], "neighbor_id": out_n[keep], "sim": best[keep]}
             )

@@ -22,6 +22,21 @@ def _dot(a, b):
     )
 
 
+def round_half_away(x: np.ndarray, digits: int) -> np.ndarray:
+    """round() with SQL semantics: half away from zero.
+
+    ``np.round`` is banker's rounding (half to even), but the DuckDB
+    oracle's ``round()`` rounds half away from zero — a similarity
+    landing exactly on a 0.5*10^-digits boundary would round
+    differently on the two sides, flipping value-hash gates and even
+    ``>= threshold`` emit decisions (ADVICE r4). All reported sims use
+    this helper so both engines share one rounding rule; residual
+    divergence now requires the engines' RAW float sums to differ AND
+    straddle a boundary (strictly smaller surface)."""
+    scale = 10.0 ** digits
+    return np.sign(x) * np.floor(np.abs(x) * scale + 0.5) / scale
+
+
 def _collect_broadcast_vectors(embeddings: DataFrame, max_rows: int):
     """Gated driver-side collect of the full vector table for the
     exact broadcast paths: drop zero norms, sort by vec_id (the stable
@@ -117,7 +132,7 @@ def embedding_knn(
             qids = pdf["vec_id"].values[ok]
             S = (q @ b_V.T) / np.outer(qn, b_norms)
             S[qids[:, None] == b_ids[None, :]] = -np.inf  # exclude self
-            Sr = np.round(S, round_digits)
+            Sr = round_half_away(S, round_digits)
             if k == 1:
                 best = Sr.max(axis=1)
                 # b_ids are sorted ascending, so argmax of the tie mask =
@@ -202,7 +217,7 @@ def embedding_sim_pairs(
                 ok = (na > 0) & (nb > 0)
                 if not ok.any():
                     continue
-                sim = np.round(
+                sim = round_half_away(
                     (A[ok] * B[ok]).sum(axis=1) / (na[ok] * nb[ok]), round_digits
                 )
                 keep = sim >= min_sim
@@ -238,7 +253,7 @@ def embedding_sim_pairs(
                 continue
             q, qn = q[ok], qn[ok]
             qids = pdf["vec_id"].values[ok]
-            Sr = np.round((q @ b_V.T) / np.outer(qn, b_norms), round_digits)
+            Sr = round_half_away((q @ b_V.T) / np.outer(qn, b_norms), round_digits)
             # emit each unordered pair once: this task owns rows where
             # its query id is the smaller one
             mask = (Sr >= min_sim) & (qids[:, None] < b_ids[None, :])
@@ -318,8 +333,17 @@ def embedding_lsh_candidates(
     if max_bucket is not None:
         # materialize the hyperplane pass once: sizes, the anti-join and
         # the flood branch all reuse it (unchecked, each branch re-ran
-        # the full mapInPandas sketch pass — three passes per call)
-        buckets = buckets.localCheckpoint(eager=True)
+        # the full mapInPandas sketch pass — three passes per call).
+        # eager=False: the checkpoint job runs when the candidate plan
+        # first EXECUTES, not at plan-construction time (ADVICE r4:
+        # eager triggered a full Spark job for merely building the
+        # DataFrame, and repeated gate/bench invocations accumulated
+        # never-unpersisted checkpoint blocks for plans never run).
+        # Lifecycle note: checkpoint blocks still live until the RDD is
+        # GC'd driver-side (ContextCleaner reclaims them with the plan);
+        # callers looping over many candidate sets should unpersist via
+        # df.rdd or let the reference drop.
+        buckets = buckets.localCheckpoint(eager=False)
         # hot buckets (few by construction) broadcast; the flood side
         # pairs against a per-bucket minimum computed with groupBy
         # (map-side partial aggregation) and broadcast-joined back — the

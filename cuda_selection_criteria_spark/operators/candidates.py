@@ -32,7 +32,12 @@ from pyspark.sql import functions as F
 from ..oracle import DedupConfig
 
 
-def cb_bucket_pairs(sketches: DataFrame, cfg: DedupConfig) -> DataFrame:
+def cb_bucket_pairs(
+    sketches: DataFrame,
+    cfg: DedupConfig,
+    salt_target: int | None = None,
+    max_bucket: int | None = None,
+) -> DataFrame:
     """Candidate pairs for the non-LSH criteria (hll_a / hll_an / cb):
     the Spark-native form of the reference's sorted + prefix-break scan
     (SURVEY.md §2 O1/O2).
@@ -48,6 +53,22 @@ def cb_bucket_pairs(sketches: DataFrame, cfg: DedupConfig) -> DataFrame:
     The exact CB predicate re-filters after the join; dropDuplicates
     collapses the same-bucket double match. Carries hll_aux blobs when
     the criterion needs them.
+
+    Flood guard: at tau=0.9 one bucket spans only ~11% in cardinality,
+    and web corpora concentrate document sizes — ~100 buckets cover
+    10..10^6-shingle docs, so at 10^12 docs a single bucket holds
+    ~10^10 rows and an unguarded self-join is quadratic within it.
+    ``salt_target`` applies the same two-level salting as
+    ``candidate_pairs``: a bucket whose side-load exceeds the target is
+    split into s salt blocks per side, spreading the f^2 pair work over
+    s^2 shuffle keys while emitting every pair exactly once (a's salt
+    pins sa, b's pins sb). ``max_bucket`` drops oversized buckets
+    entirely (last-resort cap; OFF for parity). Note the criterion
+    itself stays inherently pairwise post-CB — that is the reference's
+    hll_a/hll_an semantics (selection.cpp evaluates every CB-surviving
+    pair); smh_a's banded LSH remains the 10^12-doc scale default, with
+    salting making hll_a/hll_an *executable* at scale rather than
+    straggler-bound.
     """
     import math
 
@@ -70,16 +91,62 @@ def cb_bucket_pairs(sketches: DataFrame, cfg: DedupConfig) -> DataFrame:
         F.col("card_i").alias("card_b"),
         *([F.col("hll_aux").alias("aux_b")] if has_aux else []),
     )
+    join_key = ["bkt"]
+    if salt_target is not None or max_bucket is not None:
+        # per-join-key load: a-side sees n_k rows at key k, b-side sees
+        # n_{k-1}+n_k+n_{k+1} (the +-1 explode). The bucket stats table
+        # is tiny by construction (log-scale buckets: ~100s of rows for
+        # any corpus), so it broadcasts.
+        na = base.groupBy("bkt").agg(F.count("*").alias("_na"))
+        nb = (
+            na.select(
+                F.explode(
+                    F.array(F.col("bkt") - 1, F.col("bkt"), F.col("bkt") + 1)
+                ).alias("bkt"),
+                "_na",
+            )
+            .groupBy("bkt")
+            .agg(F.sum("_na").alias("_nb"))
+        )
+        stats = na.join(nb, "bkt").select(
+            "bkt", F.greatest("_na", "_nb").alias("_load")
+        )
+        if max_bucket is not None:
+            over = stats.where(F.col("_load") > max_bucket)
+            a = a.join(F.broadcast(over), "bkt", "left_anti")
+            b = b.join(F.broadcast(over), "bkt", "left_anti")
+            stats = stats.where(F.col("_load") <= max_bucket)
+        if salt_target is not None:
+            hot = stats.where(F.col("_load") > salt_target)
+            s_col = F.ceil(
+                F.coalesce(F.col("_load"), F.lit(1)) / F.lit(salt_target)
+            ).cast("int")
+            all_salts = F.explode(F.sequence(F.lit(0), s_col - 1))
+            a_cols = [c for c in a.columns if c != "bkt"]
+            b_cols = [c for c in b.columns if c != "bkt"]
+            a = a.join(F.broadcast(hot), "bkt", "left").select(
+                "bkt",
+                F.pmod(F.xxhash64("id_a"), s_col).cast("int").alias("sa"),
+                all_salts.alias("sb"),
+                *a_cols,
+            )
+            b = b.join(F.broadcast(hot), "bkt", "left").select(
+                "bkt",
+                all_salts.alias("sa"),
+                F.pmod(F.xxhash64("id_b"), s_col).cast("int").alias("sb"),
+                *b_cols,
+            )
+            join_key = ["bkt", "sa", "sb"]
     tau = cfg.tau
     return (
-        a.join(b, "bkt")
+        a.join(b, join_key)
         .where(F.col("id_a") < F.col("id_b"))
         .where(
             F.least("card_a", "card_b").cast("double")
             / F.greatest("card_a", "card_b").cast("double")
             >= F.lit(tau)
         )
-        .drop("bkt")
+        .drop(*join_key)
         .dropDuplicates(["id_a", "id_b"])
     )
 
@@ -94,7 +161,7 @@ def aux_criterion_filter(pairs: DataFrame, cfg: DedupConfig) -> DataFrame:
 
     from ..sketchlib.batch import register_histograms
     from ..sketchlib.criteria import sigma
-    from ..sketchlib.hll import ertl_mle
+    from ..sketchlib.hll import ertl_mle_batch
 
     p = cfg.aux_p
     m = 1 << p
@@ -111,7 +178,7 @@ def aux_criterion_filter(pairs: DataFrame, cfg: DedupConfig) -> DataFrame:
             ra = np.frombuffer(b"".join(pdf["aux_a"]), dtype=np.uint8).reshape(n, m)
             rb = np.frombuffer(b"".join(pdf["aux_b"]), dtype=np.uint8).reshape(n, m)
             hist = register_histograms(np.maximum(ra, rb))
-            t_hat = np.array([ertl_mle(hist[i], p) for i in range(n)])
+            t_hat = ertl_mle_batch(hist, p)
             ca = np.minimum(pdf["card_a"].values, pdf["card_b"].values).astype(np.float64)
             cb = np.maximum(pdf["card_a"].values, pdf["card_b"].values).astype(np.float64)
             gamma = ca / cb

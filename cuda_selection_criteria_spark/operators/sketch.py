@@ -10,10 +10,27 @@ Output schema (FIXTURES.md F2):
   url string, url_id long, card double, card_i long,
   hll14 binary, smh array<long>
 
-``url_id`` is xxhash64-style surrogate (computed here with the same
-splitmix64 chain the oracle uses so both sides agree); used to keep
-band-explode rows narrow at 10^12-doc scale. ``card_i`` preserves the
-oracle binary's size_t truncation (/root/reference/src/selection.cpp:275).
+``url_id`` is a narrow 64-bit surrogate used to keep band-explode rows
+small at 10^12-doc scale. Two assignment modes (``id_mode``):
+
+- ``"dense"`` (batch default): ``monotonically_increasing_id()`` —
+  collision-FREE by construction (partition index in the high bits,
+  per-partition counter in the low bits). A 64-bit *hash* surrogate
+  silently merges ~n^2/2^65 url pairs (~2.7e4 expected collisions at
+  10^12 docs, each conflating two documents in the band join, verify
+  join and connected components); dense ids close that hazard without
+  widening the shuffle key. Dense ids are assigned at materialization:
+  the pipeline localCheckpoints sketches and the warehouse persists
+  them (with part-scoped resume-stable ids, warehouse.py), so every
+  downstream join sees one consistent assignment.
+- ``"hash"``: ``xxhash64(url)`` — a pure function of the row. Required
+  where ids must be reproducible across independent materializations:
+  streaming (state keyed across micro-batches; collision exposure is
+  bounded by the TTL'd active horizon, not the full crawl) and
+  differential gates that compare two independently-built id spaces.
+
+``card_i`` preserves the oracle binary's size_t truncation
+(/root/reference/src/selection.cpp:275).
 """
 
 from __future__ import annotations
@@ -94,12 +111,24 @@ def _sketch_batches(cfg: DedupConfig):
 
 
 def sketch_pages(
-    pages: DataFrame, cfg: DedupConfig = DedupConfig(), min_partitions: int | None = None
+    pages: DataFrame,
+    cfg: DedupConfig = DedupConfig(),
+    min_partitions: int | None = None,
+    id_mode: str = "dense",
 ) -> DataFrame:
     """pages(url, text, ...) -> sketches DataFrame.
 
     Catalyst prunes every column except url/text at the scan.
-    url_id = xxhash64(url) (JVM-side, stable).
+
+    ``id_mode`` (see module docstring): ``"dense"`` (default) assigns
+    collision-free monotonically-increasing surrogate ids at
+    materialization; ``"hash"`` uses the pure-function xxhash64(url).
+    Streaming inputs always use ``"hash"`` — dense ids restart their
+    partition counters every micro-batch, which would collide ACROSS
+    batches exactly where the stateful operators key on url_id.
+    If ``pages`` already carries a ``url_id`` column it is passed
+    through untouched (caller-controlled id space; the collision-
+    injection tests use this).
 
     Normally narrow (no shuffle): a 100 TB table arrives in thousands
     of splits. But a small/single-file input would serialize the whole
@@ -107,13 +136,23 @@ def sketch_pages(
     cluster's parallelism are repartitioned first (tiny rows — url +
     text only).
     """
-    src = pages.select("url", F.xxhash64(F.col("url")).alias("url_id"), "text")
+    if "url_id" in pages.columns:
+        id_col = F.col("url_id")
+    elif pages.isStreaming or id_mode == "hash":
+        id_col = F.xxhash64(F.col("url"))
+    elif id_mode == "dense":
+        id_col = F.monotonically_increasing_id()
+    else:
+        raise ValueError(f"unknown id_mode: {id_mode!r}")
     if pages.isStreaming:
         # streaming sources size their own micro-batch partitions; no
         # partition probe (inputFiles/rdd are undefined on streams)
+        src = pages.select("url", id_col.alias("url_id"), "text")
         return src.mapInPandas(_sketch_batches(cfg), schema=sketch_schema(cfg))
     if min_partitions is None:
         min_partitions = pages.sparkSession.sparkContext.defaultParallelism
+    narrow = ["url", "text"] + (["url_id"] if "url_id" in pages.columns else [])
+    src = pages.select(*narrow)
     # partition-count probe: the PLANNED partitions, not the file count
     # — Spark packs many small files into fewer splits (file count would
     # overstate parallelism and skip a needed repartition) and splits
@@ -122,4 +161,7 @@ def sketch_pages(
     n_parts = src.rdd.getNumPartitions()
     if n_parts < min_partitions:
         src = src.repartition(min_partitions)
+    # id assigned AFTER the optional repartition so dense ids are a
+    # function of the final (materialized) partition layout
+    src = src.select("url", id_col.alias("url_id"), "text")
     return src.mapInPandas(_sketch_batches(cfg), schema=sketch_schema(cfg))

@@ -21,12 +21,13 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..oracle import DedupConfig
-from ..sketchlib.hll import ertl_mle
+from ..sketchlib.hll import ertl_mle_batch
 
 VERIFY_SCHEMA = "url_a string, url_b string, jaccard double"
+VERIFY_SCHEMA_IDS = "id_a long, id_b long, url_a string, url_b string, jaccard double"
 
 
-def _verify_batches(cfg: DedupConfig):
+def _verify_batches(cfg: DedupConfig, with_ids: bool = False):
     p = cfg.hll_p
     tau = cfg.tau
     m = 1 << p
@@ -42,7 +43,7 @@ def _verify_batches(cfg: DedupConfig):
             regs_b = decode_registers(list(pdf["hll_b"]), p)
             mx = np.maximum(regs_a, regs_b)
             hist = register_histograms(mx)
-            t = np.array([ertl_mle(hist[i], p) for i in range(n)])
+            t = ertl_mle_batch(hist, p)
             e1 = pdf["card_a"].values.astype(np.float64)
             e2 = pdf["card_b"].values.astype(np.float64)
             jacc = (e1 + e2 - t) / t
@@ -52,20 +53,42 @@ def _verify_batches(cfg: DedupConfig):
             ub = pdf["url_b"].values[keep]
             jj = jacc[keep]
             swap = ua > ub
-            ua2 = np.where(swap, ub, ua)
-            ub2 = np.where(swap, ua, ub)
-            yield pd.DataFrame({"url_a": ua2, "url_b": ub2, "jaccard": jj})
+            out = {
+                "url_a": np.where(swap, ub, ua),
+                "url_b": np.where(swap, ua, ub),
+                "jaccard": jj,
+            }
+            if with_ids:
+                ia = pdf["id_a"].values[keep]
+                ib = pdf["id_b"].values[keep]
+                out = {
+                    # ids swap WITH the urls so (id_a, url_a) stay paired
+                    "id_a": np.where(swap, ib, ia),
+                    "id_b": np.where(swap, ia, ib),
+                    **out,
+                }
+            yield pd.DataFrame(out)
 
     return fn
 
 
 def verify_pairs(
-    candidates: DataFrame, sketches: DataFrame, cfg: DedupConfig = DedupConfig()
+    candidates: DataFrame,
+    sketches: DataFrame,
+    cfg: DedupConfig = DedupConfig(),
+    with_ids: bool = False,
 ) -> DataFrame:
     """(id_a, id_b, card_a, card_b) + sketches -> dup_pairs(url_a, url_b, jaccard).
 
     Two hash joins pull in the 16 KiB register blobs only for surviving
     candidates (the expensive payload never rides the band shuffle).
+
+    ``with_ids=True`` additionally carries the surrogate id spine
+    (id_a, id_b) through to the output so downstream consumers
+    (connected components, pipeline.py) reuse the SAME ids the
+    candidate join used instead of re-deriving ids by hashing urls —
+    re-hashing would silently reintroduce the 64-bit collision hazard
+    the dense id spine exists to close.
     """
     payload = sketches.select("url_id", "url", "hll14")
     joined = (
@@ -85,6 +108,12 @@ def verify_pairs(
             ),
             "id_b",
         )
-        .select("url_a", "url_b", "card_a", "card_b", "hll_a", "hll_b")
+        .select(
+            *(["id_a", "id_b"] if with_ids else []),
+            "url_a", "url_b", "card_a", "card_b", "hll_a", "hll_b",
+        )
     )
-    return joined.mapInPandas(_verify_batches(cfg), schema=VERIFY_SCHEMA)
+    return joined.mapInPandas(
+        _verify_batches(cfg, with_ids=with_ids),
+        schema=VERIFY_SCHEMA_IDS if with_ids else VERIFY_SCHEMA,
+    )

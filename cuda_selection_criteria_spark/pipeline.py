@@ -56,13 +56,22 @@ def dedup_from_sketches(
     else:
         from .operators.candidates import aux_criterion_filter, cb_bucket_pairs
 
-        cands = cb_bucket_pairs(sketches, cfg)
+        # same flood knobs as the smh path: salt_target spreads hot
+        # log-cardinality buckets, max_band_bucket drops them outright
+        cands = cb_bucket_pairs(
+            sketches, cfg, salt_target=salt_target, max_bucket=max_band_bucket
+        )
         if cfg.criterion in ("hll_a", "hll_an"):
             cands = aux_criterion_filter(cands, cfg)
-    dup_pairs = verify_pairs(cands, sketches, cfg).localCheckpoint(eager=True)
-    edges = dup_pairs.select(
-        F.xxhash64("url_a").alias("id_a"), F.xxhash64("url_b").alias("id_b")
+    # with_ids: CC edges reuse the sketch table's surrogate ids instead
+    # of re-hashing urls (xxhash64(url) here would reintroduce the
+    # 64-bit silent-merge hazard the dense id spine closes — two
+    # colliding urls would fuse into one CC node at 10^12-doc scale)
+    verified = verify_pairs(cands, sketches, cfg, with_ids=True).localCheckpoint(
+        eager=True
     )
+    dup_pairs = verified.select("url_a", "url_b", "jaccard")
+    edges = verified.select("id_a", "id_b")
     comp = connected_components(edges)
     url_ids = sketches.select("url", "url_id")
     clusters = comp.join(url_ids, comp["node"] == url_ids["url_id"]).select(

@@ -21,6 +21,7 @@ from .hll import (
     hll_build,
     hll_cardinality,
     ertl_mle,
+    ertl_mle_batch,
     sum_counts,
     union_cardinality,
     union_cardinality_batch,
@@ -38,6 +39,7 @@ __all__ = [
     "hll_build",
     "hll_cardinality",
     "ertl_mle",
+    "ertl_mle_batch",
     "sum_counts",
     "union_cardinality",
     "union_cardinality_batch",

@@ -14,7 +14,7 @@ from __future__ import annotations
 import numpy as np
 
 from .hashes import wyhash64_stream
-from .hll import ertl_mle, hll_ranks
+from .hll import ertl_mle_batch, hll_ranks
 from .hashes import wanghash64
 
 U64 = np.uint64
@@ -202,8 +202,7 @@ def hll_cards_encode_batch(
             flat = (doc_idx[i0:i1] - lo) * m + idx
             np.maximum.at(r.reshape(-1), flat, rank)
         hist = register_histograms(r, buf=hist_buf[:cnk])
-        for j in range(cnk):
-            cards[lo + j] = ertl_mle(hist[j], p)
+        cards[lo:hi] = ertl_mle_batch(hist, p)
         if encoding == "sparse":
             for j, b in enumerate(encode_registers_sparse(r)):
                 blobs[lo + j] = b
@@ -255,9 +254,8 @@ def register_histograms(regs: np.ndarray, chunk: int = 256, buf: np.ndarray | No
 
 def cardinalities(regs: np.ndarray, p: int) -> np.ndarray:
     """Ertl-MLE per register file; regs shape [n_docs, 2^p]."""
-    n = regs.shape[0]
     hist = register_histograms(regs)
-    return np.array([ertl_mle(hist[i], p) for i in range(n)], dtype=np.float64)
+    return ertl_mle_batch(hist, p)
 
 
 def encode_registers_sparse(regs: np.ndarray) -> list[bytes]:

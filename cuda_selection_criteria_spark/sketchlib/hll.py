@@ -139,6 +139,103 @@ def ertl_mle(counts: np.ndarray, p: int, q: int | None = None, relerr: float = 1
     return x * m
 
 
+def ertl_mle_batch(
+    counts: np.ndarray, p: int, q: int | None = None, relerr: float = 1e-2
+) -> np.ndarray:
+    """Vectorized Ertl-MLE over a batch of register histograms.
+
+    ``counts``: int array [n, >= q+2]. Bit-identical per row to the
+    scalar ``ertl_mle`` (tests pin this on the reference fixtures and
+    random histograms): every row executes exactly its own scalar op
+    sequence — per-row masks freeze rows outside their own loop ranges
+    and after their own convergence, and every update is the same
+    IEEE-754 elementwise expression — so the secant runs ONCE across
+    the whole batch instead of per row. This removes the last
+    per-row-Python residue from the sketch / verify / aux-criterion
+    hot paths (each scalar call was a Python-loop secant over a tiny
+    histogram; thousands per Arrow batch).
+    """
+    if q is None:
+        q = 64 - p
+    ci = np.asarray(counts)
+    if ci.ndim == 1:
+        ci = ci[None, :]
+    n = ci.shape[0]
+    m = 1 << p
+    c = ci.astype(np.float64)  # counts <= 2^p << 2^53: exact
+    out = np.full(n, math.inf)
+    finite = ci[:, q + 1] != m
+    nz = ci != 0
+    k_min = np.argmax(nz, axis=1)  # first nonzero (rows sum to 2^p: exists)
+    k_min_p = np.maximum(1, k_min)
+    sub = nz[:, : q + 2]
+    k_max = (q + 1) - np.argmax(sub[:, ::-1], axis=1)
+    k_max = np.where(sub.any(axis=1), k_max, 0)
+    k_max_p = np.minimum(q, k_max)
+
+    z = np.zeros(n)
+    for k in range(int(k_max_p.max()), int(k_min_p.min()) - 1, -1):
+        act = (k <= k_max_p) & (k >= k_min_p)
+        z = np.where(act, 0.5 * z + c[:, k], z)
+    z = np.ldexp(z, -k_min_p.astype(np.int32))
+
+    c_prime = c[:, q + 1].copy()
+    if q:
+        c_prime = c_prime + c[np.arange(n), k_max_p]
+
+    a = z + c[:, 0]
+    m_prime = np.float64(m) - c[:, 0]
+    gprev = z + np.ldexp(c[:, q + 1], np.int32(-q))
+    with np.errstate(divide="ignore", invalid="ignore"):
+        x = np.where(
+            gprev <= 1.5 * a,
+            m_prime / (0.5 * gprev + a),
+            (m_prime / gprev) * np.log1p(gprev / a),
+        )
+    gprev = np.zeros(n)
+    delta_x = x.copy()
+    rel = relerr / math.sqrt(m)
+
+    with np.errstate(divide="ignore", invalid="ignore", over="ignore"):
+        active = finite & (delta_x > x * rel)
+        while active.any():
+            kappa_m1 = np.frexp(x)[1]
+            x_prime = np.ldexp(
+                x, -np.maximum(k_max_p + 1, kappa_m1 + 2).astype(np.int32)
+            )
+            x_prime2 = x_prime * x_prime
+            h = x_prime - x_prime2 / 3 + (x_prime2 * x_prime2) * (
+                1.0 / 45.0 - x_prime2 / 472.5
+            )
+            # loop 1: per-row trip counts (range(kappa_m1, k_max_p-1, -1))
+            trips = np.where(active, np.maximum(0, kappa_m1 - k_max_p + 1), 0)
+            for t in range(int(trips.max())):
+                rowa = t < trips
+                h_prime = 1.0 - h
+                h = np.where(rowa, (x_prime + h * h_prime) / (x_prime + h_prime), h)
+                x_prime = np.where(rowa, x_prime + x_prime, x_prime)
+            g = c_prime * h
+            # loop 2: k from k_max_p-1 down to k_min_p (row-constant bounds)
+            k_hi = int((k_max_p - 1).max())
+            k_lo = int(k_min_p.min())
+            for k in range(k_hi, k_lo - 1, -1):
+                rowa = active & (k <= k_max_p - 1) & (k >= k_min_p)
+                h_prime = 1.0 - h
+                h_new = (x_prime + h * h_prime) / (x_prime + h_prime)
+                h = np.where(rowa, h_new, h)
+                x_prime = np.where(rowa, x_prime + x_prime, x_prime)
+                g = np.where(rowa, g + c[:, k] * h_new, g)
+            g = g + x * a
+            cond = (gprev < g) & (g <= m_prime)
+            dx_new = delta_x * ((g - m_prime) / (gprev - g))
+            delta_x = np.where(active, np.where(cond, dx_new, 0.0), delta_x)
+            x = np.where(active, x + delta_x, x)
+            gprev = np.where(active, g, gprev)
+            active = active & (delta_x > x * rel)
+    np.copyto(out, x * m, where=finite)
+    return out
+
+
 def hll_cardinality(regs: np.ndarray, p: int) -> float:
     """report(): Ertl-MLE over the register histogram (hll.h:834-837)."""
     return ertl_mle(sum_counts(regs), p)
@@ -163,4 +260,4 @@ def union_cardinality_batch(regs_a: np.ndarray, regs_b: np.ndarray, p: int) -> n
     flat = (mx.astype(np.int64) + offsets).ravel()
     hist = np.bincount(flat, minlength=B * 64).reshape(B, 64)
     p_ = int(np.log2(m))
-    return np.array([ertl_mle(hist[i], p_) for i in range(B)], dtype=np.float64)
+    return ertl_mle_batch(hist, p_)

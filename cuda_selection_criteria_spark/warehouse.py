@@ -144,6 +144,19 @@ def sketch_with_resume(
                 f"config — use a fresh --warehouse to re-sketch"
             )
     else:
+        done_before = wh.completed_parts("sketch")
+        if done_before:
+            # A warehouse sketched before sketch_meta existed (or whose
+            # meta table was lost) must NOT silently adopt THIS run's
+            # config as its recorded identity — back-filling would bless
+            # exactly the mixed-config resume (e.g. smh_a parts without
+            # hll_aux resumed under hll_a) the identity check prevents.
+            raise ValueError(
+                f"warehouse at {wh.root} has {len(done_before)} completed "
+                "sketch parts but no sketch_meta table recording their "
+                "config; refusing to resume (the completed parts' sketch "
+                "config is unknowable). Re-sketch into a fresh --warehouse."
+            )
         wh.write("sketch_meta", wh.spark.createDataFrame([meta], SKETCH_META_SCHEMA))
     done = wh.completed_parts("sketch")
     todo = sorted(set(range(n_parts)) - done)
@@ -152,9 +165,27 @@ def sketch_with_resume(
     )
     if todo:
         t0 = time.time()
+        from pyspark.sql import Window
+
         missing = staged.where(F.col("part_id").isin(todo))
         sk = sketch_pages(missing, cfg).withColumn(
             "part_id", F.pmod(F.xxhash64("url"), F.lit(n_parts)).cast("int")
+        )
+        # Part-scoped dense url_id: (part_id << 40) | row_number-within-
+        # part (ordered by url). Unlike a per-job monotonic id, this is
+        # a pure function of the part's CONTENT, so ids are stable
+        # across resumed runs — run 2's freshly sketched parts can never
+        # collide with run 1's persisted parts (distinct part_id
+        # prefixes), and re-sketching the same part reproduces the same
+        # ids. Unlike xxhash64(url), collision-free by construction
+        # (2^40 rows/part x 2^22 parts headroom at 10^12 docs). The
+        # window shuffles by part_id — which the partitioned write
+        # benefits from anyway (one directory per task group).
+        sk = sk.withColumn(
+            "url_id",
+            F.shiftleft(F.col("part_id").cast("long"), 40)
+            + F.row_number().over(Window.partitionBy("part_id").orderBy("url"))
+            - F.lit(1),
         )
         # Dynamic partition overwrite makes the write idempotent per
         # part_id: a crash between this write and mark_parts leaves the

@@ -75,7 +75,11 @@ def test_streaming_band_candidates_stateful(spark, tmp_path):
     pages_from_corpus(spark, 300, seed=11).write.parquet(src_dir)
 
     batch_pages = spark.read.parquet(src_dir)
-    sk = sketch_pages(batch_pages, cfg)
+    # id_mode="hash": the diff compares node ids across two independent
+    # materializations (stream vs batch), so both sides must use the
+    # pure-function id space (streaming always hashes; dense ids are
+    # per-materialization)
+    sk = sketch_pages(batch_pages, cfg, id_mode="hash")
     batch_pairs = {
         (r.id_a, r.id_b)
         for r in candidate_pairs(sk, cfg, bucket_pairing="star").collect()

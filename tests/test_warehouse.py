@@ -53,8 +53,19 @@ def test_partial_resume(spark, tmp_path):
     n_full = full.count()
     import shutil, os
 
-    # wipe warehouse, re-run marking half done artificially
+    # wipe warehouse, re-run marking half done artificially. A real
+    # killed run leaves sketch_meta behind (written before any part
+    # completes), so the simulation writes it too — completed parts
+    # WITHOUT meta are now refused outright (ADVICE r4 guard,
+    # test_round5.test_warehouse_refuses_metaless_resume)
+    from cuda_selection_criteria_spark.warehouse import SKETCH_META_SCHEMA
+
     wh2 = Warehouse(spark, str(tmp_path / "wh3"))
+    meta = (
+        CFG.criterion, int(CFG.shingle_k), int(CFG.smh_m), int(CFG.hll_p),
+        int(CFG.aux_p), CFG.register_encoding, 8,
+    )
+    wh2.write("sketch_meta", spark.createDataFrame([meta], SKETCH_META_SCHEMA))
     wh2.mark_parts("dead", "sketch", [0, 1, 2, 3])
     sk = sketch_with_resume(wh2, pages, CFG, n_parts=8, run_id="r2")
     # only parts 4-7 materialized (0-3 claimed done by the dead run)

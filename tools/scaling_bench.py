@@ -156,8 +156,19 @@ def main() -> None:
         ["git", "-C", "/root/repo", "rev-parse", "--short", "HEAD"],
         capture_output=True, text=True,
     ).stdout.strip() or "unknown"
+    # a dirty tree's rev does NOT identify the measured code — record
+    # the fact at run time so write_report can exclude and surface it
+    # (ADVICE r4)
+    dirty = bool(
+        subprocess.run(
+            ["git", "-C", "/root/repo", "status", "--porcelain", "--"]
+            + MEASURED_PATHS,
+            capture_output=True, text=True,
+        ).stdout.strip()
+    )
     run_rec = {
         "rev": rev,
+        "dirty": dirty,
         "n_lo": N_LO,
         "n_hi": N_HI,
         "rows": N_ROWS,
@@ -195,17 +206,29 @@ MEASURED_PATHS = [
 ]
 
 
-def _measurement_path_identical(rev_a: str, rev_b: str) -> bool:
+def _measurement_path_identity(rev_a: str, rev_b: str) -> str:
+    """'same' | 'diff' | 'unresolvable'.
+
+    git diff --quiet exits 0 (identical) or 1 (different); ANY other
+    exit (bad/garbage-collected rev, shallow clone) means the recorded
+    rev no longer identifies code — such runs must be SURFACED as
+    unresolvable rather than silently treated as different-code
+    (ADVICE r4: the old boolean contradicted the report's "nothing
+    discarded" claim)."""
     import subprocess
 
     if rev_a == rev_b:
-        return True
+        return "same"
     r = subprocess.run(
         ["git", "-C", "/root/repo", "diff", "--quiet", f"{rev_a}..{rev_b}", "--"]
         + MEASURED_PATHS,
         capture_output=True,
     )
-    return r.returncode == 0
+    if r.returncode == 0:
+        return "same"
+    if r.returncode == 1 and not r.stderr.strip():
+        return "diff"
+    return "unresolvable"
 
 
 def write_report() -> None:
@@ -229,7 +252,11 @@ def write_report() -> None:
     """
     hist_path = "/root/repo/BENCH/scaling_runs.jsonl"
     history = [json.loads(l) for l in open(hist_path) if l.strip()]
-    best_run = history[-1]
+    # group anchor: the newest CLEAN run (a dirty run's rev doesn't
+    # identify its code, so it can't define the headline group)
+    best_run = next(
+        (r for r in reversed(history) if not r.get("dirty")), history[-1]
+    )
     head_rev = best_run["rev"]
     # same measurement = same CODE (path-identical rev) and same
     # WORKLOAD (rows, N, 4N): efficiency depends on problem size (fixed
@@ -237,10 +264,16 @@ def write_report() -> None:
     # different measurement from the 100k-row ones even at the same rev
     # — it stays in the history table (with its rows column), not in
     # the headline group.
+    identities = [_measurement_path_identity(r["rev"], head_rev) for r in history]
+    unresolvable = [
+        i for i, ident in enumerate(identities) if ident == "unresolvable"
+    ]
+    dirty_runs = [i for i, r in enumerate(history) if r.get("dirty")]
     head_runs = [
         r
-        for r in history
-        if _measurement_path_identical(r["rev"], head_rev)
+        for r, ident in zip(history, identities)
+        if ident == "same"
+        and not r.get("dirty")  # dirty tree: rev doesn't identify the code
         and r.get("rows") == best_run.get("rows")
         and r["n_lo"] == best_run["n_lo"]
         and r["n_hi"] == best_run["n_hi"]
@@ -291,8 +324,10 @@ efficiency depends on problem size, so different-rows runs are
 different measurements and stay in the history table only).
 Run-medians in the group: {sorted(head_medians)}. Never a post-hoc
 selection: the group is fixed by code+workload identity and every run
-in it counts.** The leg table below shows the latest of those runs
-(run {len(history) - 1}). Full history below; nothing discarded.
+in it counts.** The leg table below shows the group's anchor run
+(run {history.index(best_run)} — the newest clean-tree run). Full
+history below; nothing discarded (unresolvable-rev or dirty-tree runs,
+if any, are listed and flagged rather than silently dropped).
 
 | leg | parallelism | dedup wall_s | docs/sec (MinHash+LSH) | clustering wall_s |
 |---|---|---|---|---|
@@ -319,8 +354,21 @@ medians move only when most pairs do):
 | run | git rev | rows | adjacent-pair efficiencies | best | median |
 |---|---|---|---|---|---|
 """ + "".join(
-            f"| {i} | {r['rev']} | {r.get('rows', '?')} | {r['pair_effs']} | {r['eff_best']} | {r['eff_median']} |\n"
+            f"| {i} | {r['rev']}{' (dirty)' if r.get('dirty') else ''} | {r.get('rows', '?')} | {r['pair_effs']} | {r['eff_best']} | {r['eff_median']} |\n"
             for i, r in enumerate(history)
+        ) + (
+            f"\nExcluded from any headline group: runs {unresolvable} — their "
+            f"recorded rev no longer resolves in this clone (git diff errored, "
+            f"not 'different'), so code identity is unknowable.\n"
+            if unresolvable
+            else ""
+        ) + (
+            f"\nRuns {dirty_runs} were recorded from a tree with uncommitted "
+            f"edits under the measured paths (dirty flag at record time); "
+            f"their rev does not identify the measured code, so they are "
+            f"excluded from headline groups but kept in the history.\n"
+            if dirty_runs
+            else ""
         ) + f"""
 Notes
 - Read of the history: most runs reach >= 0.88 on at least one
