@@ -80,7 +80,15 @@ def _q_dup_pairs_smh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_dup_clusters_smh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup_pipeline(_docs_as_pages(spark, sf_dir), _dedup_cfg()).clusters
+    # relabel components with their minimum URL: the pipeline's internal
+    # cluster_id is the minimum DENSE surrogate id, whose value depends
+    # on partition layout (defaultParallelism / file-split planning) —
+    # fine inside one job, but the recorded query output should be a
+    # pure function of content so the row set is stable across
+    # environments. (url, cluster_key) partitions identically.
+    clusters = dedup_pipeline(_docs_as_pages(spark, sf_dir), _dedup_cfg()).clusters
+    keys = clusters.groupBy("cluster_id").agg(F.min("url").alias("cluster_key"))
+    return clusters.join(keys, "cluster_id").select("url", "cluster_key")
 
 
 def _q_dup_pairs_smh_m512(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -72,7 +72,6 @@ def main() -> None:
     ]
     probe_before = host_probe()
     qs = entrymod.queries()
-    timings: dict[str, float] = {}
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     n_docs = docs.count()
     # warm-up (UNTIMED): run every headline query once at the smallest

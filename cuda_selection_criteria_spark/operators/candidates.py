@@ -79,6 +79,20 @@ def cb_bucket_pairs(
         sketches.where(F.col("card_i") > 0)
         .select(*cols, F.floor(F.log(F.col("card_i").cast("double")) * F.lit(inv_log)).alias("bkt"))
     )
+    join_key = ["bkt"]
+    if salt_target is not None or max_bucket is not None:
+        # per-BUCKET doc counts first (the stats table is tiny by
+        # construction — log-scale buckets: ~100s of rows for any
+        # corpus — so every join against it broadcasts)
+        na = base.groupBy("bkt").agg(F.count("*").alias("_na"))
+    if max_bucket is not None:
+        # cap = drop the DOCS of buckets whose OWN size exceeds the cap,
+        # BEFORE sides are built — capping on the exploded join-key load
+        # would also drop keys k-1/k+1 merely adjacent to a flooded
+        # bucket k (non-flooded neighbor pairs silently lost)
+        over = na.where(F.col("_na") > max_bucket).select("bkt")
+        base = base.join(F.broadcast(over), "bkt", "left_anti")
+        na = na.where(F.col("_na") <= max_bucket)
     a = base.select(
         F.col("bkt"),
         F.col("url_id").alias("id_a"),
@@ -91,13 +105,9 @@ def cb_bucket_pairs(
         F.col("card_i").alias("card_b"),
         *([F.col("hll_aux").alias("aux_b")] if has_aux else []),
     )
-    join_key = ["bkt"]
-    if salt_target is not None or max_bucket is not None:
-        # per-join-key load: a-side sees n_k rows at key k, b-side sees
-        # n_{k-1}+n_k+n_{k+1} (the +-1 explode). The bucket stats table
-        # is tiny by construction (log-scale buckets: ~100s of rows for
-        # any corpus), so it broadcasts.
-        na = base.groupBy("bkt").agg(F.count("*").alias("_na"))
+    if salt_target is not None:
+        # per-join-key load AFTER the cap: a-side sees n_k rows at key
+        # k, b-side sees n_{k-1}+n_k+n_{k+1} (the +-1 explode)
         nb = (
             na.select(
                 F.explode(
@@ -111,32 +121,26 @@ def cb_bucket_pairs(
         stats = na.join(nb, "bkt").select(
             "bkt", F.greatest("_na", "_nb").alias("_load")
         )
-        if max_bucket is not None:
-            over = stats.where(F.col("_load") > max_bucket)
-            a = a.join(F.broadcast(over), "bkt", "left_anti")
-            b = b.join(F.broadcast(over), "bkt", "left_anti")
-            stats = stats.where(F.col("_load") <= max_bucket)
-        if salt_target is not None:
-            hot = stats.where(F.col("_load") > salt_target)
-            s_col = F.ceil(
-                F.coalesce(F.col("_load"), F.lit(1)) / F.lit(salt_target)
-            ).cast("int")
-            all_salts = F.explode(F.sequence(F.lit(0), s_col - 1))
-            a_cols = [c for c in a.columns if c != "bkt"]
-            b_cols = [c for c in b.columns if c != "bkt"]
-            a = a.join(F.broadcast(hot), "bkt", "left").select(
-                "bkt",
-                F.pmod(F.xxhash64("id_a"), s_col).cast("int").alias("sa"),
-                all_salts.alias("sb"),
-                *a_cols,
-            )
-            b = b.join(F.broadcast(hot), "bkt", "left").select(
-                "bkt",
-                all_salts.alias("sa"),
-                F.pmod(F.xxhash64("id_b"), s_col).cast("int").alias("sb"),
-                *b_cols,
-            )
-            join_key = ["bkt", "sa", "sb"]
+        hot = stats.where(F.col("_load") > salt_target)
+        s_col = F.ceil(
+            F.coalesce(F.col("_load"), F.lit(1)) / F.lit(salt_target)
+        ).cast("int")
+        all_salts = F.explode(F.sequence(F.lit(0), s_col - 1))
+        a_cols = [c for c in a.columns if c != "bkt"]
+        b_cols = [c for c in b.columns if c != "bkt"]
+        a = a.join(F.broadcast(hot), "bkt", "left").select(
+            "bkt",
+            F.pmod(F.xxhash64("id_a"), s_col).cast("int").alias("sa"),
+            all_salts.alias("sb"),
+            *a_cols,
+        )
+        b = b.join(F.broadcast(hot), "bkt", "left").select(
+            "bkt",
+            all_salts.alias("sa"),
+            F.pmod(F.xxhash64("id_b"), s_col).cast("int").alias("sb"),
+            *b_cols,
+        )
+        join_key = ["bkt", "sa", "sb"]
     tau = cfg.tau
     return (
         a.join(b, join_key)

@@ -136,14 +136,16 @@ def sketch_pages(
     cluster's parallelism are repartitioned first (tiny rows — url +
     text only).
     """
+    if id_mode not in ("dense", "hash"):  # validate FIRST: a typo must
+        # raise on every path (streaming/passthrough included), not
+        # silently fall back to hashing
+        raise ValueError(f"unknown id_mode: {id_mode!r}")
     if "url_id" in pages.columns:
         id_col = F.col("url_id")
     elif pages.isStreaming or id_mode == "hash":
         id_col = F.xxhash64(F.col("url"))
-    elif id_mode == "dense":
-        id_col = F.monotonically_increasing_id()
     else:
-        raise ValueError(f"unknown id_mode: {id_mode!r}")
+        id_col = F.monotonically_increasing_id()
     if pages.isStreaming:
         # streaming sources size their own micro-batch partitions; no
         # partition probe (inputFiles/rdd are undefined on streams)

@@ -97,7 +97,23 @@ def dedup_pipeline(
     mapInPandas sketch pass runs once. In a warehouse deployment this
     is a real table write instead (warehouse.py).
     """
-    sketches = sketch_pages(pages, cfg, min_partitions=min_partitions)
+    # id_mode tracks the materialization mode: dense ids are assigned
+    # at EXECUTION, so they are only consistent across the candidate
+    # self-join / verify joins / clusters join when the sketches are
+    # materialized once (the localCheckpoint below, or a warehouse
+    # table). Without persistence each branch re-executes the sketch
+    # plan independently and monotonically_increasing_id may reassign
+    # (Spark documents it nondeterministic under re-ordered input) —
+    # silently joining the wrong documents. The un-persisted path
+    # therefore uses the pure-function hash id, which is safe to
+    # recompute (and whose 2^-64 collision exposure is acceptable at
+    # the small scales where skipping persistence makes sense).
+    sketches = sketch_pages(
+        pages,
+        cfg,
+        min_partitions=min_partitions,
+        id_mode="dense" if persist_sketches else "hash",
+    )
     if persist_sketches:
         # localCheckpoint over .persist(): the columnar cache builder
         # measured +66s on 600MB of sketch blobs (compression + memory

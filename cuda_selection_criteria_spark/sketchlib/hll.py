@@ -162,6 +162,8 @@ def ertl_mle_batch(
         ci = ci[None, :]
     n = ci.shape[0]
     m = 1 << p
+    if n == 0:  # the per-row listcomps this replaced returned empty
+        return np.empty(0, dtype=np.float64)
     c = ci.astype(np.float64)  # counts <= 2^p << 2^53: exact
     out = np.full(n, math.inf)
     finite = ci[:, q + 1] != m

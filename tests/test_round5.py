@@ -228,6 +228,58 @@ def test_cb_max_bucket_drops_flooded_bucket(spark):
     assert extra.count() == 0
 
 
+def test_ertl_mle_batch_empty_batch():
+    """Empty batches return an empty array (the listcomps this replaced
+    did); callers like cardinalities()/union_cardinality_batch must not
+    crash on zero-row inputs."""
+    out = ertl_mle_batch(np.zeros((0, 64), dtype=np.int64), 14)
+    assert out.shape == (0,)
+
+
+def test_sketch_pages_id_mode_typo_raises_on_every_path(spark):
+    bad = "desne"
+    plain = spark.createDataFrame([("u", LONG_A)], "url string, text string")
+    with_id = spark.createDataFrame(
+        [("u", 1, LONG_A)], "url string, url_id long, text string"
+    )
+    for pages in (plain, with_id):  # passthrough must validate too
+        with pytest.raises(ValueError, match="id_mode"):
+            sketch_pages(pages, CFG, id_mode=bad)
+
+
+def test_unpersisted_pipeline_matches_persisted(spark):
+    """persist_sketches=False switches to recompute-safe hash ids; the
+    url-level dup pair set must match the persisted dense-id run."""
+    pages = pages_from_corpus(spark, 80, seed=3, partitions=3)
+    a = {
+        (r.url_a, r.url_b)
+        for r in dedup_pipeline(pages, CFG).dup_pairs.collect()
+    }
+    b = {
+        (r.url_a, r.url_b)
+        for r in dedup_pipeline(pages, CFG, persist_sketches=False).dup_pairs.collect()
+    }
+    assert a == b
+
+
+def test_cb_max_bucket_spares_neighbor_buckets(spark):
+    """Dropping a flooded bucket must not drop its (non-flooded)
+    neighbors: the cap filters the oversized bucket's DOCS, not every
+    join key the explode touches."""
+    cfg = DedupConfig(tau=0.9, shingle_k=16, smh_m=64, hll_p=14, criterion="cb")
+    rows = [(i, 1000) for i in range(200)]  # flood bucket (card 1000)
+    rows += [(1000 + i, 905) for i in range(3)]  # small adjacent bucket
+    sk = spark.createDataFrame(rows, "url_id long, card_i long")
+    capped = {
+        (r.id_a, r.id_b)
+        for r in cb_bucket_pairs(sk, cfg, max_bucket=50).collect()
+    }
+    # all three within-neighbor-bucket pairs survive; every pair
+    # involving a flooded doc is gone
+    expect = {(1000, 1001), (1000, 1002), (1001, 1002)}
+    assert capped == expect
+
+
 def test_hll_a_pipeline_salted_parity(spark):
     """End-to-end hll_a dup_pairs are unchanged by the flood guard."""
     cfg = DedupConfig(

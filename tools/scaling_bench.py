@@ -279,6 +279,12 @@ def write_report() -> None:
         and r["n_hi"] == best_run["n_hi"]
     ]
     head_medians = [r["eff_median"] for r in head_runs]
+    # every run in history may be dirty/unresolvable (e.g. the round's
+    # first run launched from an uncommitted tree): fall back to the
+    # anchor run alone rather than crashing on an empty median
+    if not head_medians:
+        head_runs = [best_run]
+        head_medians = [best_run["eff_median"]]
     headline_eff = statistics.median(head_medians)
     legs = best_run["legs"]
     n_lo, n_hi = best_run["n_lo"], best_run["n_hi"]
