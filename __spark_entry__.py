@@ -461,6 +461,46 @@ def _q_events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+def _q_word_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cuda_selection_criteria_spark.functions import word_repetition_scores
+
+    return word_repetition_scores(_docs(spark, sf_dir))
+
+
+def _q_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cuda_selection_criteria_spark.functions import boilerplate_ngrams
+
+    return boilerplate_ngrams(_docs(spark, sf_dir), k=5, top_n=50)
+
+
+def _q_events_sessionized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cuda_selection_criteria_spark.functions import sessionize
+
+    return sessionize(_events(spark, sf_dir), gap_seconds=1800)
+
+
+def _q_events_asof_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cuda_selection_criteria_spark.functions import events_asof_clicks
+
+    return events_asof_clicks(_events(spark, sf_dir))
+
+
+def _q_user_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cuda_selection_criteria_spark.functions import key_skew_profile
+
+    return key_skew_profile(_events(spark, sf_dir), "user_id", heavy_factor=2)
+
+
+def _q_event_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cuda_selection_criteria_spark.functions import event_type_stats
+
+    return event_type_stats(_events(spark, sf_dir))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "dup_pairs_smh": _q_dup_pairs_smh,
@@ -504,6 +544,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_batch_cc_gate": _q_streaming_batch_cc_gate,
         "winnow_precision_gate": _q_winnow_precision_gate,
         "dup_pairs_m512_jaccard_gate": _q_dup_pairs_m512_gate,
+        "word_repetition_scores": _q_word_repetition,
+        "boilerplate_ngrams": _q_boilerplate_ngrams,
+        "events_sessionized": _q_events_sessionized,
+        "events_asof_clicks": _q_events_asof_clicks,
+        "user_skew_profile": _q_user_skew_profile,
+        "event_type_stats": _q_event_type_stats,
     }
 
 
@@ -807,6 +853,118 @@ def oracle_sql() -> dict[str, str]:
                    CAST(NULL AS BIGINT) AS cluster_a,
                    CAST(NULL AS BIGINT) AS cluster_b
             WHERE FALSE
+        """,
+        "word_repetition_scores": """
+            WITH toks AS (
+              SELECT d.doc_id, t.w
+              FROM documents d, LATERAL unnest(string_split(d.text, ' ')) t(w)
+              WHERE t.w <> ''
+            ),
+            wc AS (
+              SELECT doc_id, w, count(*) AS n FROM toks GROUP BY doc_id, w
+            ),
+            per AS (
+              SELECT doc_id,
+                     CAST(sum(n) AS BIGINT) AS nw,
+                     CAST(count(*) AS BIGINT) AS nd,
+                     CAST(max(n) AS BIGINT) AS tp
+              FROM wc GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   coalesce(nw, 0) AS n_words,
+                   coalesce(nd, 0) AS n_distinct_words,
+                   coalesce(tp, 0) AS top_word_n,
+                   CASE WHEN coalesce(nw, 0) > 0
+                        THEN CAST(floor(1000 * (nw - nd) / nw) AS BIGINT)
+                        ELSE 0 END AS dup_word_frac_x1000,
+                   CASE WHEN coalesce(nw, 0) > 0
+                        THEN CAST(floor(1000 * tp / nw) AS BIGINT)
+                        ELSE 0 END AS top_word_frac_x1000
+            FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+        """,
+        # same shingle semantics as the _NGRAM_CTES sh0 block (distinct
+        # per doc, full 5-char windows only); the total tie order
+        # (df DESC, s ASC) makes the top-50 SET deterministic
+        "boilerplate_ngrams": """
+            WITH sh0 AS (
+              SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), 5) AS s
+              FROM documents d,
+                   LATERAL unnest(range(1, greatest(length(d.text) - 3, 1))) t(i)
+            )
+            SELECT s, CAST(count(*) AS BIGINT) AS df
+            FROM sh0 GROUP BY s
+            ORDER BY df DESC, s ASC LIMIT 50
+        """,
+        "events_sessionized": """
+            WITH flagged AS (
+              SELECT user_id, epoch_us(ts) AS us, event_id,
+                     CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                               OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                                  > 1800 * 1000000
+                          THEN 1 ELSE 0 END AS is_new
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ),
+            sessioned AS (
+              SELECT user_id, us,
+                     CAST(sum(is_new) OVER (
+                       PARTITION BY user_id ORDER BY us, event_id
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+              FROM flagged
+            )
+            SELECT user_id, session_idx,
+                   count(*) AS n_events,
+                   min(us) AS session_start_us,
+                   max(us) AS session_end_us
+            FROM sessioned GROUP BY user_id, session_idx
+        """,
+        # as-of join oracle: clicks and errors interleave in one
+        # cumulative window (right rows carry the payload; errors read
+        # the running last non-null) — at equal (ts, event_id) order
+        # keys right sorts before left, but event_id is unique so the
+        # tiebreak never engages
+        "events_asof_clicks": """
+            WITH u AS (
+              SELECT event_id, user_id, ts,
+                     CASE WHEN event_type = 'click' THEN value END AS p,
+                     CASE WHEN event_type = 'click' THEN 0 ELSE 1 END AS side
+              FROM events WHERE event_type IN ('click', 'error')
+            ),
+            c AS (
+              SELECT event_id, user_id, ts, side,
+                     last_value(p IGNORE NULLS) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id, side
+                       ROWS UNBOUNDED PRECEDING) AS lastp
+              FROM u
+            )
+            SELECT event_id, user_id,
+                   epoch_us(ts) AS ts_us,
+                   CAST(round(lastp * 100) AS BIGINT) AS last_click_value_cents
+            FROM c WHERE side = 1
+        """,
+        "user_skew_profile": """
+            WITH counts AS (
+              SELECT user_id, CAST(count(*) AS BIGINT) AS n_rows
+              FROM events GROUP BY user_id
+            ),
+            totals AS (
+              SELECT CAST(count(*) AS BIGINT) AS n_keys,
+                     CAST(sum(n_rows) AS BIGINT) AS n_total
+              FROM counts
+            )
+            SELECT user_id, n_rows,
+                   CAST(n_rows * n_keys > 2 * n_total AS INT) AS is_heavy
+            FROM counts, totals
+        """,
+        "event_type_stats": """
+            SELECT event_type,
+                   count(*) AS n_events,
+                   count(DISTINCT user_id) AS n_users,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                       AS sum_value_cents,
+                   min(CAST(round(value * 100) AS BIGINT)) AS min_value_cents,
+                   max(CAST(round(value * 100) AS BIGINT)) AS max_value_cents
+            FROM events GROUP BY event_type
         """,
         # dup_pairs_smh / dup_clusters_smh / embedding_lsh_candidates /
         # simhash_pairs / streaming_neardup_candidates: sketch/hash/

@@ -14,6 +14,14 @@ from .textstats import (
     token_counts_bpe,
 )
 from .ngram import ngram_jaccard_pairs
+from .repetition import boilerplate_ngrams, word_repetition_scores
+from .events_analytics import (
+    asof_join,
+    event_type_stats,
+    events_asof_clicks,
+    key_skew_profile,
+    sessionize,
+)
 from .similarity import embedding_knn, embedding_lsh_candidates, embedding_sim_pairs
 from .simhash import simhash_docs, simhash_pairs
 from .multimodal import (
@@ -36,6 +44,13 @@ __all__ = [
     "quality_scores",
     "token_counts_bpe",
     "ngram_jaccard_pairs",
+    "boilerplate_ngrams",
+    "word_repetition_scores",
+    "asof_join",
+    "event_type_stats",
+    "events_asof_clicks",
+    "key_skew_profile",
+    "sessionize",
     "embedding_knn",
     "embedding_lsh_candidates",
     "embedding_sim_pairs",

@@ -252,10 +252,27 @@ def write_report() -> None:
     """
     hist_path = "/root/repo/BENCH/scaling_runs.jsonl"
     history = [json.loads(l) for l in open(hist_path) if l.strip()]
-    # group anchor: the newest CLEAN run (a dirty run's rev doesn't
-    # identify its code, so it can't define the headline group)
+    # headline WORKLOAD is pinned to the canonical one every historical
+    # run used (rows=100k, N=2 vs 4N=8) — declared round 5 BEFORE any
+    # round-5 run was recorded, so a larger-rows amortization run
+    # landing last can neither define nor upgrade the headline; other
+    # workloads (e.g. rows=400k) are reported as their own labeled
+    # groups below the headline.
+    CANON = {"rows": 100000, "n_lo": 2, "n_hi": 8}
+
+    def _canon(r: dict) -> bool:
+        return (
+            r.get("rows") == CANON["rows"]
+            and r["n_lo"] == CANON["n_lo"]
+            and r["n_hi"] == CANON["n_hi"]
+        )
+
+    # group anchor: the newest CLEAN canonical-workload run (a dirty
+    # run's rev doesn't identify its code, so it can't define the
+    # headline group)
     best_run = next(
-        (r for r in reversed(history) if not r.get("dirty")), history[-1]
+        (r for r in reversed(history) if not r.get("dirty") and _canon(r)),
+        history[-1],
     )
     head_rev = best_run["rev"]
     # same measurement = same CODE (path-identical rev) and same
@@ -286,6 +303,14 @@ def write_report() -> None:
         head_runs = [best_run]
         head_medians = [best_run["eff_median"]]
     headline_eff = statistics.median(head_medians)
+    # non-canonical workloads at the SAME measurement code: their own
+    # labeled groups (e.g. the rows=400k fixed-cost-amortization
+    # evidence) — published alongside, never merged into the headline
+    extra_groups: dict[tuple, list[dict]] = {}
+    for r, ident in zip(history, identities):
+        if ident == "same" and not r.get("dirty") and r not in head_runs:
+            key = (r.get("rows"), r["n_lo"], r["n_hi"])
+            extra_groups.setdefault(key, []).append(r)
     legs = best_run["legs"]
     n_lo, n_hi = best_run["n_lo"], best_run["n_hi"]
     eff_best = best_run["eff_best"]
@@ -346,10 +371,21 @@ if any, are listed and flagged rather than silently dropped).
 Best per level: N={N_LO}: {lo_best['docs_per_sec']} docs/s; 4N={N_HI}: {hi_best['docs_per_sec']} docs/s.
 
 **Scaling efficiency = {headline_eff:.3f} (median of the {len(head_runs)}
-run-medians in the measurement-path-identical group of rev {head_rev};
+run-medians in the measurement-path-identical group of rev {head_rev}
+at the canonical workload rows=100000, N=2, 4N=8 — the workload pinned
+round 5 before any round-5 run existed, so later runs at other sizes
+can neither define nor upgrade this number;
 latest run's own median {eff_med:.3f}, best pair {eff_best:.3f};
 target >= 0.8 per BASELINE.json `metric`).**
-
+""" + "".join(
+            f"\nExtra workload group (same measurement code, rows={k[0]}, "
+            f"N={k[1]}, 4N={k[2]}): run-medians "
+            f"{sorted(r['eff_median'] for r in g)}, group median "
+            f"{statistics.median([r['eff_median'] for r in g]):.3f} — "
+            f"published for fixed-cost-amortization evidence, not part of "
+            f"the headline.\n"
+            for k, g in sorted(extra_groups.items())
+        ) + f"""
 All recorded runs (BENCH/scaling_runs.jsonl — full history, nothing
 discarded). The run-level MEDIAN is the comparable number: single
 pairs drift in both directions on this host (one recorded pair reads
