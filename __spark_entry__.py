@@ -501,6 +501,18 @@ def _q_event_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return event_type_stats(_events(spark, sf_dir))
 
 
+def _q_dedup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cuda_selection_criteria_spark.functions import dedup_cascade
+
+    return dedup_cascade(_docs(spark, sf_dir), k=5, min_jaccard=0.5, max_df=100)
+
+
+def _q_dedup_cascade_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cuda_selection_criteria_spark.functions import cascade_summary
+
+    return cascade_summary(_docs(spark, sf_dir), k=5, min_jaccard=0.5, max_df=100)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "dup_pairs_smh": _q_dup_pairs_smh,
@@ -550,15 +562,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_asof_clicks": _q_events_asof_clicks,
         "user_skew_profile": _q_user_skew_profile,
         "event_type_stats": _q_event_type_stats,
+        "dedup_cascade": _q_dedup_cascade,
+        "dedup_cascade_summary": _q_dedup_cascade_summary,
     }
 
 
 # shared CTE chain: exact k=5 n-gram Jaccard pairs (max_df=100 cap),
-# reused by the pair query and the connected-components oracle.
-_NGRAM_CTES = """
+# reused by the pair query, the connected-components oracle, and (over
+# the exact-tier survivor set) the cascade oracle.
+def _ngram_ctes(src: str = "documents") -> str:
+    return f"""
             sh0 AS (
               SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), 5) AS s
-              FROM documents d, LATERAL unnest(range(1, greatest(length(d.text) - 3, 1))) t(i)
+              FROM {src} d, LATERAL unnest(range(1, greatest(length(d.text) - 3, 1))) t(i)
             ),
             rare AS (
               SELECT s FROM sh0 GROUP BY s
@@ -580,6 +596,9 @@ _NGRAM_CTES = """
               JOIN cnt cb ON doc_b = cb.doc_id
               WHERE round(CAST(inter_n AS DOUBLE) / (ca.n + cb.n - inter_n), 6) >= 0.5
             )"""
+
+
+_NGRAM_CTES = _ngram_ctes()
 
 
 def oracle_sql() -> dict[str, str]:
@@ -965,6 +984,105 @@ def oracle_sql() -> dict[str, str]:
                    min(CAST(round(value * 100) AS BIGINT)) AS min_value_cents,
                    max(CAST(round(value * 100) AS BIGINT)) AS max_value_cents
             FROM events GROUP BY event_type
+        """,
+        # tiered cascade oracle: exact tier groups by text itself (the
+        # Spark side's (xxhash64, md5) compound key is the documented
+        # scale equivalent); the ngram tier is the SAME recursive-CTE
+        # closure as dup_clusters_ngram but over exact-tier SURVIVORS
+        # only (cascade semantics). final_keeper resolves the single
+        # possible chain hop — a component-minimum keeper is never
+        # itself removed, so one left join is exact.
+        "dedup_cascade": f"""
+            WITH RECURSIVE ex AS (
+              SELECT doc_id,
+                     min(doc_id) OVER (PARTITION BY text) AS exact_keeper
+              FROM documents
+            ),
+            surv AS (
+              SELECT d.* FROM documents d
+              JOIN ex ON d.doc_id = ex.doc_id
+              WHERE ex.doc_id = ex.exact_keeper
+            ),
+            {_ngram_ctes("surv")},
+            sym AS (
+              SELECT doc_a AS a, doc_b AS b FROM njp
+              UNION ALL
+              SELECT doc_b AS a, doc_a AS b FROM njp
+            ),
+            reach(a, b) AS (
+              SELECT a, b FROM sym
+              UNION
+              SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+              WHERE s.b != r.a
+            ),
+            ngrm AS (
+              SELECT a AS doc_id, CAST(least(a, min(b)) AS BIGINT) AS cl
+              FROM reach GROUP BY a
+            ),
+            nr AS (SELECT doc_id, cl FROM ngrm WHERE doc_id != cl),
+            verdict AS (
+              SELECT ex.doc_id,
+                     CASE WHEN ex.doc_id != ex.exact_keeper THEN 'exact'
+                          WHEN nr.doc_id IS NOT NULL THEN 'ngram'
+                          ELSE 'none' END AS removed_by,
+                     CASE WHEN ex.doc_id != ex.exact_keeper
+                               THEN ex.exact_keeper
+                          WHEN nr.doc_id IS NOT NULL THEN nr.cl
+                          ELSE ex.doc_id END AS keeper_id
+              FROM ex LEFT JOIN nr ON ex.doc_id = nr.doc_id
+            )
+            SELECT v.doc_id, v.removed_by, v.keeper_id,
+                   coalesce(nr2.cl, v.keeper_id) AS final_keeper_id
+            FROM verdict v LEFT JOIN nr nr2 ON v.keeper_id = nr2.doc_id
+        """,
+        "dedup_cascade_summary": f"""
+            WITH RECURSIVE ex AS (
+              SELECT doc_id,
+                     min(doc_id) OVER (PARTITION BY text) AS exact_keeper
+              FROM documents
+            ),
+            surv AS (
+              SELECT d.* FROM documents d
+              JOIN ex ON d.doc_id = ex.doc_id
+              WHERE ex.doc_id = ex.exact_keeper
+            ),
+            {_ngram_ctes("surv")},
+            sym AS (
+              SELECT doc_a AS a, doc_b AS b FROM njp
+              UNION ALL
+              SELECT doc_b AS a, doc_a AS b FROM njp
+            ),
+            reach(a, b) AS (
+              SELECT a, b FROM sym
+              UNION
+              SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+              WHERE s.b != r.a
+            ),
+            ngrm AS (
+              SELECT a AS doc_id, CAST(least(a, min(b)) AS BIGINT) AS cl
+              FROM reach GROUP BY a
+            ),
+            nr AS (SELECT doc_id, cl FROM ngrm WHERE doc_id != cl),
+            verdict AS (
+              SELECT ex.doc_id,
+                     CASE WHEN ex.doc_id != ex.exact_keeper THEN 'exact'
+                          WHEN nr.doc_id IS NOT NULL THEN 'ngram'
+                          ELSE 'none' END AS removed_by,
+                     CASE WHEN ex.doc_id != ex.exact_keeper
+                               THEN ex.exact_keeper
+                          WHEN nr.doc_id IS NOT NULL THEN nr.cl
+                          ELSE ex.doc_id END AS keeper_id
+              FROM ex LEFT JOIN nr ON ex.doc_id = nr.doc_id
+            ),
+            resolved AS (
+              SELECT v.doc_id, v.removed_by,
+                     coalesce(nr2.cl, v.keeper_id) AS final_keeper_id
+              FROM verdict v LEFT JOIN nr nr2 ON v.keeper_id = nr2.doc_id
+            )
+            SELECT removed_by,
+                   count(*) AS n_docs,
+                   count(DISTINCT final_keeper_id) AS n_keepers
+            FROM resolved GROUP BY removed_by
         """,
         # dup_pairs_smh / dup_clusters_smh / embedding_lsh_candidates /
         # simhash_pairs / streaming_neardup_candidates: sketch/hash/

@@ -14,6 +14,7 @@ from .textstats import (
     token_counts_bpe,
 )
 from .ngram import ngram_jaccard_pairs
+from .cascade import cascade_summary, dedup_cascade
 from .repetition import boilerplate_ngrams, word_repetition_scores
 from .events_analytics import (
     asof_join,
@@ -44,6 +45,8 @@ __all__ = [
     "quality_scores",
     "token_counts_bpe",
     "ngram_jaccard_pairs",
+    "cascade_summary",
+    "dedup_cascade",
     "boilerplate_ngrams",
     "word_repetition_scores",
     "asof_join",

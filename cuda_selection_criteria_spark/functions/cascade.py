@@ -1,0 +1,117 @@
+"""Tiered dedup cascade: cheap exact tier prunes the corpus before the
+expensive near-dup tier runs.
+
+This is the industrial web-pipeline shape (CCNet / RefinedWeb /
+FineWeb): each tier consumes only the SURVIVORS of the previous one,
+so the quadratic-ish near-dup machinery never sees documents an exact
+hash compare already removed. The reference repo's selection binaries
+run one criterion per invocation (`src/selection.cpp:107-111` picks
+smh_a/hll_a/hll_an); the cascade is the composition a user actually
+deploys around them.
+
+Semantics (deliberately survivor-based, NOT whole-corpus per tier):
+
+- tier ``exact``  — full-text equality on the ``(xxhash64, md5)``
+  24-byte compound key (the ``exact_dup_groups`` discipline: bodies
+  never ride the shuffle; a false merge needs a simultaneous 2^-190
+  double collision). Keeper = min ``doc_id`` per text group.
+- tier ``ngram``  — over tier-1 keepers only: exact k-gram Jaccard
+  pairs (``ngram_jaccard_pairs``) -> connected components -> keeper =
+  component-minimum ``doc_id``.
+
+Every input document gets exactly one verdict row:
+``(doc_id, removed_by in {'exact','ngram','none'}, keeper_id,
+final_keeper_id)`` where ``keeper_id`` is the tier-local keeper and
+``final_keeper_id`` resolves the one possible chain hop (an
+exact-removed doc whose keeper was itself ngram-removed). Chains have
+length <= 2 by construction — a component-minimum keeper is never
+removed — so the resolution is a single join, not an iteration.
+
+Scale shape (100 TB): tier 1 is one hash-key groupBy (map-side
+combined). Tier 2 inherits the ``max_df`` stop-shingle cap and
+``key="hash"`` narrow-shuffle options of ``ngram_jaccard_pairs`` and
+runs on the pruned survivor set; the verdict assembly is two
+broadcast-size left joins against the (tiny) removed sets. At 10^12
+docs the sketch/LSH pipeline (``pipeline.py``) replaces tier 2 with
+the same survivor semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..operators.cluster import connected_components
+from .ngram import ngram_jaccard_pairs
+
+
+def dedup_cascade(
+    documents: DataFrame,
+    k: int = 5,
+    min_jaccard: float = 0.5,
+    max_df: int | None = 100,
+    key: str = "gram",
+) -> DataFrame:
+    """Per-document cascade verdicts
+    (doc_id, removed_by, keeper_id, final_keeper_id)."""
+    keyed = documents.select(
+        "doc_id",
+        F.xxhash64("text").alias("_h"),
+        F.md5("text").alias("_fp"),
+    )
+    grp = keyed.groupBy("_h", "_fp").agg(F.min("doc_id").alias("_keeper"))
+    exact = keyed.join(grp, ["_h", "_fp"]).select(
+        "doc_id", F.col("_keeper").alias("_exact_keeper")
+    )
+    survivors = documents.join(
+        exact.where(F.col("doc_id") == F.col("_exact_keeper")).select("doc_id"),
+        "doc_id",
+    )
+    edges = ngram_jaccard_pairs(
+        survivors, k=k, min_jaccard=min_jaccard, max_df=max_df, key=key
+    )
+    comp = connected_components(edges, a_col="doc_a", b_col="doc_b")
+    ngram_removed = comp.where(F.col("node") != F.col("cluster_id")).select(
+        F.col("node").alias("doc_id"), F.col("cluster_id").alias("_ng_keeper")
+    )
+    verdict = exact.join(ngram_removed, "doc_id", "left").select(
+        "doc_id",
+        F.when(F.col("doc_id") != F.col("_exact_keeper"), F.lit("exact"))
+        .when(F.col("_ng_keeper").isNotNull(), F.lit("ngram"))
+        .otherwise(F.lit("none"))
+        .alias("removed_by"),
+        F.when(F.col("doc_id") != F.col("_exact_keeper"), F.col("_exact_keeper"))
+        .when(F.col("_ng_keeper").isNotNull(), F.col("_ng_keeper"))
+        .otherwise(F.col("doc_id"))
+        .alias("keeper_id"),
+    )
+    # resolve the single possible hop: keeper_id itself ngram-removed
+    chase = ngram_removed.select(
+        F.col("doc_id").alias("keeper_id"), F.col("_ng_keeper").alias("_k2")
+    )
+    return verdict.join(chase, "keeper_id", "left").select(
+        "doc_id",
+        "removed_by",
+        "keeper_id",
+        F.coalesce(F.col("_k2"), F.col("keeper_id")).alias("final_keeper_id"),
+    )
+
+
+def cascade_summary(
+    documents: DataFrame,
+    k: int = 5,
+    min_jaccard: float = 0.5,
+    max_df: int | None = 100,
+    key: str = "gram",
+) -> DataFrame:
+    """(removed_by, n_docs, n_keepers): the per-tier removal metric a
+    pipeline run logs — how many docs each tier cut and how many
+    distinct keepers absorbed them."""
+    return (
+        dedup_cascade(documents, k, min_jaccard, max_df, key)
+        .groupBy("removed_by")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("final_keeper_id").alias("n_keepers"),
+        )
+    )
