@@ -513,6 +513,26 @@ def _q_dedup_cascade_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cascade_summary(_docs(spark, sf_dir), k=5, min_jaccard=0.5, max_df=100)
 
 
+def _q_sample_bernoulli(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cuda_selection_criteria_spark.functions import (
+        hash_bernoulli_sample,
+        sample_key,
+    )
+
+    docs = _docs(spark, sf_dir)
+    return hash_bernoulli_sample(docs, rate=0.05, seed="42").select(
+        "doc_id", sample_key("42").alias("skey")
+    )
+
+
+def _q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cuda_selection_criteria_spark.functions import stratified_sample
+
+    return stratified_sample(
+        _docs(spark, sf_dir), "lang", n_per_stratum=20, seed="42"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "dup_pairs_smh": _q_dup_pairs_smh,
@@ -564,6 +584,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_type_stats": _q_event_type_stats,
         "dedup_cascade": _q_dedup_cascade,
         "dedup_cascade_summary": _q_dedup_cascade_summary,
+        "sample_bernoulli": _q_sample_bernoulli,
+        "sample_stratified": _q_sample_stratified,
     }
 
 
@@ -599,6 +621,12 @@ def _ngram_ctes(src: str = "documents") -> str:
 
 
 _NGRAM_CTES = _ngram_ctes()
+
+
+def _sampling_rate_threshold(rate: float) -> str:
+    from cuda_selection_criteria_spark.functions import rate_threshold
+
+    return rate_threshold(rate)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1083,6 +1111,28 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_docs,
                    count(DISTINCT final_keeper_id) AS n_keepers
             FROM resolved GROUP BY removed_by
+        """,
+        # deterministic md5-keyed sampling (functions/sampling.py):
+        # fixed-width lowercase-hex md5 compares identically to its
+        # numeric value on both engines, so the string comparison IS
+        # the uniform threshold test and the oracle replays the exact
+        # selection. Threshold literal comes from the same
+        # rate_threshold() the Spark side uses — one source of truth.
+        "sample_bernoulli": f"""
+            SELECT doc_id, md5('42:' || CAST(doc_id AS VARCHAR)) AS skey
+            FROM documents
+            WHERE md5('42:' || CAST(doc_id AS VARCHAR))
+                  < '{_sampling_rate_threshold(0.05)}'
+        """,
+        "sample_stratified": """
+            SELECT doc_id, lang, rk FROM (
+              SELECT doc_id, lang,
+                     row_number() OVER (
+                       PARTITION BY lang
+                       ORDER BY md5('42:' || CAST(doc_id AS VARCHAR)), doc_id
+                     ) AS rk
+              FROM documents
+            ) WHERE rk <= 20
         """,
         # dup_pairs_smh / dup_clusters_smh / embedding_lsh_candidates /
         # simhash_pairs / streaming_neardup_candidates: sketch/hash/

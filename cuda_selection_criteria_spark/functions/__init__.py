@@ -14,6 +14,12 @@ from .textstats import (
     token_counts_bpe,
 )
 from .ngram import ngram_jaccard_pairs
+from .sampling import (
+    hash_bernoulli_sample,
+    rate_threshold,
+    sample_key,
+    stratified_sample,
+)
 from .cascade import cascade_summary, dedup_cascade
 from .repetition import boilerplate_ngrams, word_repetition_scores
 from .events_analytics import (
@@ -45,6 +51,10 @@ __all__ = [
     "quality_scores",
     "token_counts_bpe",
     "ngram_jaccard_pairs",
+    "hash_bernoulli_sample",
+    "rate_threshold",
+    "sample_key",
+    "stratified_sample",
     "cascade_summary",
     "dedup_cascade",
     "boilerplate_ngrams",
