@@ -1000,7 +1000,11 @@ def oracle_sql() -> dict[str, str]:
               FROM counts
             )
             SELECT user_id, n_rows,
-                   CAST(n_rows * n_keys > 2 * n_total AS INT) AS is_heavy
+                   -- HUGEINT mirrors the Spark side's decimal(38,0)
+                   -- widening: the int64 cross-product overflows at
+                   -- web scale (1e9 keys x 1e10-row hot key)
+                   CAST(CAST(n_rows AS HUGEINT) * n_keys
+                        > 2 * CAST(n_total AS HUGEINT) AS INT) AS is_heavy
             FROM counts, totals
         """,
         "event_type_stats": """

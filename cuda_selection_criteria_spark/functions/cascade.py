@@ -56,12 +56,19 @@ def dedup_cascade(
     (doc_id, removed_by, keeper_id, final_keeper_id)."""
     keyed = documents.select(
         "doc_id",
-        F.xxhash64("text").alias("_h"),
-        F.md5("text").alias("_fp"),
-    )
+        # NULL text must form its own exact group (the oracle's
+        # PARTITION BY text groups NULLs) — hash(NULL) is NULL and a
+        # non-null-safe equi-join would silently DROP those docs, so
+        # coalesce to sentinels: "<null>" is not 32-char hex, so the
+        # (_h, _fp) pair can never collide with a real document's key.
+        F.coalesce(F.xxhash64("text"), F.lit(0)).alias("_h"),
+        F.coalesce(F.md5("text"), F.lit("<null>")).alias("_fp"),
+    ).persist()  # feeds both the group agg and the keeper join
     grp = keyed.groupBy("_h", "_fp").agg(F.min("doc_id").alias("_keeper"))
-    exact = keyed.join(grp, ["_h", "_fp"]).select(
-        "doc_id", F.col("_keeper").alias("_exact_keeper")
+    exact = (
+        keyed.join(grp, ["_h", "_fp"])
+        .select("doc_id", F.col("_keeper").alias("_exact_keeper"))
+        .persist()  # feeds both the survivor filter and the verdict
     )
     survivors = documents.join(
         exact.where(F.col("doc_id") == F.col("_exact_keeper")).select("doc_id"),

@@ -42,7 +42,12 @@ def sessionize(
     """
     # TIMESTAMP_NTZ -> TIMESTAMP (session tz is pinned UTC) -> micros
     us = F.unix_micros(F.col(ts_col).cast("timestamp"))
-    w = Window.partitionBy(key_col).orderBy(ts_col, tiebreak_col)
+    # NULLS LAST to match ANSI/DuckDB default ASC ordering (Spark
+    # defaults to NULLS FIRST — a NULL ts would otherwise seed the
+    # session numbering differently than the oracle)
+    w = Window.partitionBy(key_col).orderBy(
+        F.col(ts_col).asc_nulls_last(), F.col(tiebreak_col).asc_nulls_last()
+    )
     prev = F.lag(us).over(w)
     # two projections: the lag window must be materialized before the
     # cumulative sum can window over its result (nested window
@@ -57,7 +62,7 @@ def sessionize(
     )
     wcum = (
         Window.partitionBy(key_col)
-        .orderBy("_us", "_tb")
+        .orderBy(F.col("_us").asc_nulls_last(), F.col("_tb").asc_nulls_last())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     sessioned = flagged.select(
@@ -91,6 +96,14 @@ def asof_join(
     key group (include a unique tiebreak column) so the carried value
     is deterministic.
     """
+    clash = {"_p", "_side", out_col} & set(left.columns)
+    if clash:
+        # the union-tag composition would silently clobber (or
+        # duplicate) these caller columns
+        raise ValueError(
+            f"asof_join reserves columns {sorted({'_p', '_side', out_col})}; "
+            f"left already has {sorted(clash)}"
+        )
     ptype = right.schema[payload].dataType
     r = right.select(
         *on,
@@ -104,7 +117,13 @@ def asof_join(
     u = l.unionByName(r, allowMissingColumns=True)
     w = (
         Window.partitionBy(*on)
-        .orderBy(*order_by, "_side")
+        # NULLS LAST matches ANSI/DuckDB default ASC order (Spark
+        # defaults NULLS FIRST); a NULL order key would otherwise
+        # carry its payload into every row of the key group
+        .orderBy(
+            *[F.col(c).asc_nulls_last() for c in order_by],
+            F.col("_side").asc_nulls_last(),
+        )
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = u.withColumn("_carry", F.last("_p", ignorenulls=True).over(w))
@@ -151,7 +170,11 @@ def key_skew_profile(
     """(key, n_rows, is_heavy): per-key row counts with a heavy-hitter
     flag — heavy iff the key holds more than ``heavy_factor`` times
     the mean rows/key. The comparison is the integer cross-product
-    ``n_rows * n_keys > heavy_factor * n_total`` (no division, exact).
+    ``n_rows * n_keys > heavy_factor * n_total`` (no division, exact),
+    widened to decimal(38,0): at web scale (1e9 keys x 1e10-row hot
+    key) the product overflows int64, which under ANSI mode crashes
+    and otherwise wraps negative — silently un-flagging exactly the
+    key the salted joins needed to spread.
 
     This is the skew detector that feeds salted repartitioning: keys
     it flags are the ones a band/bucket join must salt (the
@@ -165,8 +188,8 @@ def key_skew_profile(
         key_col,
         "n_rows",
         (
-            F.col("n_rows") * F.col("_n_keys")
-            > F.lit(heavy_factor) * F.col("_n_total")
+            F.col("n_rows").cast("decimal(38,0)") * F.col("_n_keys")
+            > F.lit(heavy_factor) * F.col("_n_total").cast("decimal(38,0)")
         )
         .cast("int")
         .alias("is_heavy"),

@@ -42,6 +42,12 @@ def rate_threshold(rate: float, digits: int = 8) -> str:
     buckets = int(rate * (16**digits))
     if buckets >= 16**digits:
         return "g"  # sorts after every hex digit: rate=1.0 keeps all
+    if rate > 0.0 and buckets == 0:
+        # refuse to silently floor a positive rate to an empty sample
+        raise ValueError(
+            f"rate {rate} is below the 16^-{digits} threshold granularity "
+            f"(would select nothing); pass a larger `digits`"
+        )
     return format(buckets, f"0{digits}x")
 
 

@@ -125,3 +125,21 @@ def test_duckdb_parity_sf0001(spark, name):
     for c in cols:
         av, bv = a[c].tolist(), b[c].tolist()
         assert av == bv, f"{name}.{c} mismatch"
+
+
+def test_cascade_null_text_gets_verdicts(spark):
+    """NULL-text docs must not vanish: hash(NULL) is NULL, and a
+    non-null-safe exact-tier join would drop them. They form ONE
+    exact group (the oracle's PARTITION BY text groups NULLs) and
+    never reach the ngram tier (no shingles)."""
+    from cuda_selection_criteria_spark.functions import dedup_cascade
+
+    df = spark.createDataFrame(
+        [(1, "real text body here"), (2, None), (3, None)],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r.asDict() for r in dedup_cascade(df, max_df=None).collect()}
+    assert set(got) == {1, 2, 3}
+    assert got[1]["removed_by"] == "none"
+    assert got[2]["removed_by"] == "none" and got[2]["keeper_id"] == 2
+    assert got[3]["removed_by"] == "exact" and got[3]["final_keeper_id"] == 2

@@ -226,3 +226,14 @@ def test_duckdb_parity_sf0001(spark, name):
             (x == y) or (x is None and y is None) or (x != x and y != y)
             for x, y in zip(av, bv)
         ), f"{name}.{c} mismatch"
+
+
+def test_asof_join_rejects_reserved_column_clash(spark):
+    from cuda_selection_criteria_spark.functions import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10, 5)], "user_id long, ts long, _side long"
+    )
+    right = spark.createDataFrame([(1, 9, 2.0)], "user_id long, ts long, value double")
+    with pytest.raises(ValueError, match="reserves"):
+        asof_join(left, right, on=["user_id"], order_by=["ts"], payload="value")

@@ -135,3 +135,12 @@ def test_driver_sampling_queries_match_duckdb(spark):
         want = sorted(tuple(r) for r in con.execute(oracles[name]).fetchall())
         assert got == want, name
         assert len(got) > 0, name
+
+
+def test_rate_threshold_refuses_subgranular_rate():
+    # a positive rate that floors to zero buckets must raise, not
+    # silently select nothing
+    with pytest.raises(ValueError, match="granularity"):
+        rate_threshold(1e-10)
+    # but widening digits makes the same rate expressible
+    assert rate_threshold(1e-9, digits=10) != "0" * 10

@@ -269,11 +269,32 @@ def write_report() -> None:
 
     # group anchor: the newest CLEAN canonical-workload run (a dirty
     # run's rev doesn't identify its code, so it can't define the
-    # headline group)
+    # headline group). Degrade explicitly, never silently: no clean
+    # canonical run -> newest clean run of any workload; no clean run
+    # at all -> the newest run, with the headline flagged untrusted.
+    anchor_note = ""
     best_run = next(
         (r for r in reversed(history) if not r.get("dirty") and _canon(r)),
-        history[-1],
+        None,
     )
+    if best_run is None:
+        best_run = next(
+            (r for r in reversed(history) if not r.get("dirty")), None
+        )
+        if best_run is not None:
+            anchor_note = (
+                "ANCHOR CAVEAT: no clean canonical-workload "
+                f"(rows={CANON['rows']}) run exists in history; the anchor "
+                f"is the newest clean run at rows={best_run.get('rows')} "
+                "and the headline group reflects THAT workload."
+            )
+    if best_run is None:
+        best_run = history[-1]
+        anchor_note = (
+            "ANCHOR CAVEAT: every run in history is dirty-tree; the anchor "
+            "rev does not identify measured code and the headline is "
+            "untrusted."
+        )
     head_rev = best_run["rev"]
     # same measurement = same CODE (path-identical rev) and same
     # WORKLOAD (rows, N, 4N): efficiency depends on problem size (fixed
@@ -356,7 +377,8 @@ different measurements and stay in the history table only).
 Run-medians in the group: {sorted(head_medians)}. Never a post-hoc
 selection: the group is fixed by code+workload identity and every run
 in it counts.** The leg table below shows the group's anchor run
-(run {history.index(best_run)} — the newest clean-tree run). Full
+(run {history.index(best_run)}{' — the newest clean-tree run' if not best_run.get('dirty') else ''}).
+{anchor_note} Full
 history below; nothing discarded (unresolvable-rev or dirty-tree runs,
 if any, are listed and flagged rather than silently dropped).
 
@@ -372,10 +394,11 @@ Best per level: N={N_LO}: {lo_best['docs_per_sec']} docs/s; 4N={N_HI}: {hi_best[
 
 **Scaling efficiency = {headline_eff:.3f} (median of the {len(head_runs)}
 run-medians in the measurement-path-identical group of rev {head_rev}
-at the canonical workload rows=100000, N=2, 4N=8 — the workload pinned
-round 5 before any round-5 run existed, so later runs at other sizes
-can neither define nor upgrade this number;
-latest run's own median {eff_med:.3f}, best pair {eff_best:.3f};
+at the anchor workload rows={best_run.get('rows')}, N={n_lo}, 4N={n_hi}
+— the canonical workload (rows={CANON['rows']}) was pinned round 5
+before any round-5 run existed, so later runs at other sizes
+can neither define nor upgrade this number. {anchor_note}
+Latest run's own median {eff_med:.3f}, best pair {eff_best:.3f};
 target >= 0.8 per BASELINE.json `metric`).**
 """ + "".join(
             f"\nExtra workload group (same measurement code, rows={k[0]}, "
