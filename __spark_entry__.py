@@ -34,6 +34,7 @@ from cuda_selection_criteria_spark.functions import (
 from cuda_selection_criteria_spark.functions import embedding_sim_pairs
 from cuda_selection_criteria_spark.functions.gates import (
     ann_topk_upper_bound_gate,
+    cascade_invariant_gate,
     ann_upper_bound_gate,
     cc_diff_gate,
     dup_pairs_jaccard_gate,
@@ -513,6 +514,25 @@ def _q_dedup_cascade_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cascade_summary(_docs(spark, sf_dir), k=5, min_jaccard=0.5, max_df=100)
 
 
+def _q_dedup_cascade_smh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the production tier-2: exact tier survivors flow into the
+    # reference-parity SuperMinHash+LSH sketch pipeline instead of the
+    # SQL-checkable ngram tier. Sketch decisions are rows-only; the
+    # cascade contract itself is pinned hash-green by
+    # cascade_smh_invariant_gate below.
+    from cuda_selection_criteria_spark.functions import dedup_cascade
+
+    return dedup_cascade(_docs(spark, sf_dir), tier2="smh", smh_config=_dedup_cfg())
+
+
+def _q_cascade_smh_invariant_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cuda_selection_criteria_spark.functions import dedup_cascade
+
+    docs = _docs(spark, sf_dir)
+    verdicts = dedup_cascade(docs, tier2="smh", smh_config=_dedup_cfg())
+    return cascade_invariant_gate(docs, verdicts)
+
+
 def _q_sample_bernoulli(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cuda_selection_criteria_spark.functions import (
         hash_bernoulli_sample,
@@ -586,6 +606,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_cascade_summary": _q_dedup_cascade_summary,
         "sample_bernoulli": _q_sample_bernoulli,
         "sample_stratified": _q_sample_stratified,
+        "dedup_cascade_smh": _q_dedup_cascade_smh,
+        "cascade_smh_invariant_gate": _q_cascade_smh_invariant_gate,
     }
 
 
@@ -1138,9 +1160,19 @@ def oracle_sql() -> dict[str, str]:
               FROM documents
             ) WHERE rk <= 20
         """,
+        # cascade_smh_invariant_gate: violations of the cascade's
+        # exactly-checkable contract (total verdict function,
+        # independent exact-tier parity, keeper closure) — expected
+        # empty even though the smh tier's decisions are rows-only
+        "cascade_smh_invariant_gate": """
+            SELECT CAST(NULL AS VARCHAR) AS kind,
+                   CAST(NULL AS BIGINT) AS doc_id
+            WHERE FALSE
+        """,
         # dup_pairs_smh / dup_clusters_smh / embedding_lsh_candidates /
-        # simhash_pairs / streaming_neardup_candidates: sketch/hash/
-        # state decisions not expressible in ANSI SQL -> rows-only
+        # simhash_pairs / streaming_neardup_candidates /
+        # dedup_cascade_smh: sketch/hash/state decisions not
+        # expressible in ANSI SQL -> rows-only
         # (their derived SQL-checkable gates are above).
     }
 

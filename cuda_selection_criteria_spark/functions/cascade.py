@@ -51,9 +51,21 @@ def dedup_cascade(
     min_jaccard: float = 0.5,
     max_df: int | None = 100,
     key: str = "gram",
+    tier2: str = "ngram",
+    smh_config=None,
 ) -> DataFrame:
     """Per-document cascade verdicts
-    (doc_id, removed_by, keeper_id, final_keeper_id)."""
+    (doc_id, removed_by, keeper_id, final_keeper_id).
+
+    ``tier2`` selects the near-dup tier the exact-tier survivors flow
+    into: ``"ngram"`` (exact k-gram Jaccard, SQL-oracle-checkable) or
+    ``"smh"`` — the reference-parity SuperMinHash+LSH sketch pipeline
+    (``pipeline.dedup_pipeline`` with ``smh_config``), the tier a
+    10^12-doc deployment actually runs; its verdicts carry
+    ``removed_by='smh'``. Both tiers share the survivor semantics and
+    verdict assembly, so swapping them never changes the contract."""
+    if tier2 not in ("ngram", "smh"):
+        raise ValueError(f"tier2 must be 'ngram' or 'smh', got {tier2!r}")
     keyed = documents.select(
         "doc_id",
         # NULL text must form its own exact group (the oracle's
@@ -74,9 +86,22 @@ def dedup_cascade(
         exact.where(F.col("doc_id") == F.col("_exact_keeper")).select("doc_id"),
         "doc_id",
     )
-    edges = ngram_jaccard_pairs(
-        survivors, k=k, min_jaccard=min_jaccard, max_df=max_df, key=key
-    )
+    if tier2 == "ngram":
+        edges = ngram_jaccard_pairs(
+            survivors, k=k, min_jaccard=min_jaccard, max_df=max_df, key=key
+        )
+    else:
+        from ..oracle import DedupConfig
+        from ..pipeline import dedup_pipeline
+
+        cfg = smh_config if smh_config is not None else DedupConfig()
+        pages = survivors.where(F.col("text").isNotNull()).select(
+            F.col("doc_id").cast("string").alias("url"), "text"
+        )
+        edges = dedup_pipeline(pages, cfg).dup_pairs.select(
+            F.col("url_a").cast("long").alias("doc_a"),
+            F.col("url_b").cast("long").alias("doc_b"),
+        )
     comp = connected_components(edges, a_col="doc_a", b_col="doc_b")
     ngram_removed = comp.where(F.col("node") != F.col("cluster_id")).select(
         F.col("node").alias("doc_id"), F.col("cluster_id").alias("_ng_keeper")
@@ -84,7 +109,7 @@ def dedup_cascade(
     verdict = exact.join(ngram_removed, "doc_id", "left").select(
         "doc_id",
         F.when(F.col("doc_id") != F.col("_exact_keeper"), F.lit("exact"))
-        .when(F.col("_ng_keeper").isNotNull(), F.lit("ngram"))
+        .when(F.col("_ng_keeper").isNotNull(), F.lit(tier2))
         .otherwise(F.lit("none"))
         .alias("removed_by"),
         F.when(F.col("doc_id") != F.col("_exact_keeper"), F.col("_exact_keeper"))
@@ -110,12 +135,14 @@ def cascade_summary(
     min_jaccard: float = 0.5,
     max_df: int | None = 100,
     key: str = "gram",
+    tier2: str = "ngram",
+    smh_config=None,
 ) -> DataFrame:
     """(removed_by, n_docs, n_keepers): the per-tier removal metric a
     pipeline run logs — how many docs each tier cut and how many
     distinct keepers absorbed them."""
     return (
-        dedup_cascade(documents, k, min_jaccard, max_df, key)
+        dedup_cascade(documents, k, min_jaccard, max_df, key, tier2, smh_config)
         .groupBy("removed_by")
         .agg(
             F.count("*").alias("n_docs"),

@@ -502,3 +502,75 @@ def ann_upper_bound_gate(
             F.floor(F.col("exact_sim") * 1e6).cast("long").alias("exact_sim_x1e6"),
         )
     )
+
+
+def cascade_invariant_gate(
+    documents: DataFrame, verdicts: DataFrame
+) -> DataFrame:
+    """(kind, doc_id) violations — expected EMPTY — pinning a dedup
+    cascade's verdict table (any tier-2: ngram or the non-SQL smh
+    sketch pipeline) to three exactly-checkable invariants:
+
+    - ``missing_verdict`` / ``extra_verdict`` / ``verdict_multiplicity``:
+      the cascade is a total function — every input document gets
+      exactly one verdict row, nothing else appears.
+    - ``exact_tier_mismatch``: the exact tier must equal an INDEPENDENT
+      full-text-equality grouping (window over ``text`` — a different
+      plan than the cascade's hash-key groupBy, so hash-collision or
+      NULL-handling bugs diverge here); compared on
+      (doc_id, keeper_id) both directions.
+    - ``keeper_removed``: a final keeper must itself be kept — the
+      chain-resolution contract (chains are <= 2 hops and terminate at
+      a 'none' verdict).
+    """
+    from pyspark.sql.window import Window
+
+    docs = documents.select("doc_id", "text")
+    v = verdicts.persist()  # feeds five branches below
+
+    counts = v.groupBy("doc_id").agg(F.count("*").alias("_n"))
+    multi = counts.where(F.col("_n") != 1).select(
+        F.lit("verdict_multiplicity").alias("kind"), "doc_id"
+    )
+    missing = docs.join(v, "doc_id", "left_anti").select(
+        F.lit("missing_verdict").alias("kind"), "doc_id"
+    )
+    extra = v.join(docs, "doc_id", "left_anti").select(
+        F.lit("extra_verdict").alias("kind"), "doc_id"
+    )
+
+    # independent exact tier: window PARTITION BY text groups NULLs
+    # together (same as the oracle's PARTITION BY), no join on a
+    # possibly-NULL key anywhere
+    w = Window.partitionBy("text")
+    expected = docs.select(
+        "doc_id", F.min("doc_id").over(w).alias("_tk")
+    )
+    exp_removed = expected.where(F.col("doc_id") != F.col("_tk")).select(
+        "doc_id", F.col("_tk").alias("keeper_id")
+    )
+    got_removed = v.where(F.col("removed_by") == "exact").select(
+        "doc_id", "keeper_id"
+    )
+    mism = (
+        exp_removed.exceptAll(got_removed)
+        .unionByName(got_removed.exceptAll(exp_removed))
+        .select(F.lit("exact_tier_mismatch").alias("kind"), "doc_id")
+    )
+
+    keeper_verdict = v.select(
+        F.col("doc_id").alias("final_keeper_id"),
+        F.col("removed_by").alias("_keeper_rb"),
+    )
+    keeper_removed = (
+        v.join(keeper_verdict, "final_keeper_id")
+        .where(F.col("_keeper_rb") != "none")
+        .select(F.lit("keeper_removed").alias("kind"), "doc_id")
+    )
+
+    return (
+        multi.unionByName(missing)
+        .unionByName(extra)
+        .unionByName(mism)
+        .unionByName(keeper_removed)
+    )

@@ -143,3 +143,70 @@ def test_cascade_null_text_gets_verdicts(spark):
     assert got[1]["removed_by"] == "none"
     assert got[2]["removed_by"] == "none" and got[2]["keeper_id"] == 2
     assert got[3]["removed_by"] == "exact" and got[3]["final_keeper_id"] == 2
+
+
+# ------------------------------------------------- smh tier-2 variant
+
+def test_cascade_smh_tier_planted(spark):
+    """tier2='smh' routes exact-tier survivors through the
+    reference-parity sketch pipeline; verdicts keep the cascade
+    contract with removed_by='smh'."""
+    from cuda_selection_criteria_spark.functions import dedup_cascade
+    from cuda_selection_criteria_spark.oracle import DedupConfig
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while seventy "
+        "wizards briskly mix quartz goblets of java and the pipeline "
+        "keeps sketching shingles into superminhash signatures during "
+        "the long afternoon of benchmark runs across the web corpus "
+        "partition by partition without ever touching a python loop "
+        "in the hot path of the verification stage"
+    )
+    near = base[:200] + "X" + base[201:]  # one midpoint char differs
+    rows = [
+        (5, base),
+        (10, "identical body shared by exactly two documents " * 6),
+        (11, "identical body shared by exactly two documents " * 6),
+        (21, near),
+        (30, "completely unrelated content about spark physical plans " * 5),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    cfg = DedupConfig(tau=0.8, shingle_k=16, smh_m=64, hll_p=14)
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in dedup_cascade(df, tier2="smh", smh_config=cfg).collect()
+    }
+    assert set(got) == {5, 10, 11, 21, 30}
+    assert got[11]["removed_by"] == "exact" and got[11]["keeper_id"] == 10
+    assert got[21]["removed_by"] == "smh" and got[21]["keeper_id"] == 5
+    assert got[5]["removed_by"] == "none"
+    assert got[30]["removed_by"] == "none"
+
+
+def test_cascade_invariant_gate_empty_and_bites(spark):
+    from cuda_selection_criteria_spark.functions import dedup_cascade
+    from cuda_selection_criteria_spark.functions.gates import (
+        cascade_invariant_gate,
+    )
+
+    df = spark.createDataFrame(ROWS, "doc_id long, text string")
+    verdicts = dedup_cascade(df, max_df=None)
+    assert cascade_invariant_gate(df, verdicts).count() == 0
+
+    # the gate must BITE: drop one verdict row -> missing_verdict;
+    # corrupt a keeper -> exact_tier_mismatch
+    import pyspark.sql.functions as F
+
+    broken = verdicts.where(F.col("doc_id") != 11)
+    kinds = {
+        r["kind"] for r in cascade_invariant_gate(df, broken).collect()
+    }
+    assert "missing_verdict" in kinds and "exact_tier_mismatch" in kinds
+
+
+def test_cascade_tier2_validation(spark):
+    from cuda_selection_criteria_spark.functions import dedup_cascade
+
+    df = spark.createDataFrame(ROWS, "doc_id long, text string")
+    with pytest.raises(ValueError, match="tier2"):
+        dedup_cascade(df, tier2="simhash")
