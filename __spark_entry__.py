@@ -553,6 +553,90 @@ def _q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # tier 0 of the crawl cascade: canonicalize a deterministic
+    # synthetic url column (input-hint page schema) — four variant
+    # classes exercise fragment/case/port/www/tracking-param rules;
+    # DuckDB mirrors every rule (functions/urltools.py).
+    from cuda_selection_criteria_spark.functions.urltools import (
+        synthetic_urls,
+        with_canonical_url,
+    )
+
+    return with_canonical_url(synthetic_urls(_docs(spark, sf_dir))).select(
+        "doc_id", "url", "canon_url"
+    )
+
+
+def _q_url_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cuda_selection_criteria_spark.functions.urltools import (
+        synthetic_urls,
+        url_dedup_groups,
+    )
+
+    return url_dedup_groups(
+        synthetic_urls(_docs(spark, sf_dir)), order_col="doc_id"
+    )
+
+
+def _q_line_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # CCNet-style line-frequency boilerplate removal over the corpus
+    # re-chunked into 8-word lines (functions/linededup.py); at sf0.01
+    # the near-dup groups share chunks so the filter genuinely bites.
+    from cuda_selection_criteria_spark.functions.linededup import (
+        line_dedup,
+        rechunk_lines,
+    )
+
+    # pre-flatten any embedded newline (the corpus has none today, but
+    # rechunk_lines joins chunks with '\n' and line_dedup re-splits on
+    # it, while the oracle slices the word array directly — a
+    # newline-bearing word would silently diverge the two engines, so
+    # both sides neutralize it explicitly; oracle mirrors with
+    # replace(..., chr(10), ' ').
+    docs = _docs(spark, sf_dir).withColumn(
+        "text", F.regexp_replace(F.coalesce("text", F.lit("")), "\n", " ")
+    )
+    return line_dedup(rechunk_lines(docs, 8), min_df=2)
+
+
+def _incremental_split(spark: SparkSession, sf_dir: str):
+    docs = _docs(spark, sf_dir)
+    return docs, docs.where(F.col("doc_id") % 2 == 0)
+
+
+def _q_incremental_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # incremental snapshot dedup, exact path: anti-join on the 24-byte
+    # text key (functions/bloom.py); ref = even doc_ids.
+    from cuda_selection_criteria_spark.functions.bloom import (
+        dedup_against_reference,
+    )
+
+    new, ref = _incremental_split(spark, sf_dir)
+    return dedup_against_reference(new, ref, method="exact").select("doc_id")
+
+
+def _q_incremental_new_docs_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # scale path: distributed Bloom bitmap + broadcast membership —
+    # the reference corpus never rides a shuffle. Rows-only (bit
+    # decisions not ANSI-SQL-expressible); pinned by bloom_subset_gate.
+    from cuda_selection_criteria_spark.functions.bloom import (
+        dedup_against_reference,
+    )
+
+    new, ref = _incremental_split(spark, sf_dir)
+    return dedup_against_reference(new, ref, method="bloom").select("doc_id")
+
+
+def _q_bloom_subset_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # containment contract (expected EMPTY): bloom-kept ⊆ exact-kept —
+    # a violation is a Bloom false negative, which cannot exist.
+    from cuda_selection_criteria_spark.functions.bloom import bloom_subset_gate
+
+    new, ref = _incremental_split(spark, sf_dir)
+    return bloom_subset_gate(new, ref)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "dup_pairs_smh": _q_dup_pairs_smh,
@@ -608,12 +692,86 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_stratified": _q_sample_stratified,
         "dedup_cascade_smh": _q_dedup_cascade_smh,
         "cascade_smh_invariant_gate": _q_cascade_smh_invariant_gate,
+        "url_canonical": _q_url_canonical,
+        "url_dedup_groups": _q_url_dedup_groups,
+        "line_dedup_docs": _q_line_dedup_docs,
+        "incremental_new_docs": _q_incremental_new_docs,
+        "incremental_new_docs_bloom": _q_incremental_new_docs_bloom,
+        "bloom_subset_gate": _q_bloom_subset_gate,
     }
 
 
 # shared CTE chain: exact k=5 n-gram Jaccard pairs (max_df=100 cap),
 # reused by the pair query, the connected-components oracle, and (over
 # the exact-tier survivor set) the cascade oracle.
+# DuckDB mirror of functions/urltools.py: synthetic url derivation +
+# every canonicalization rule, applied in the same order. Distinct
+# alias names per step (head0/head1/head2) — DuckDB permits lateral
+# alias references, so re-using `head` inside its own SELECT would be
+# ambiguous.
+_URL_SYNTH_CTE = r"""
+            u0 AS (
+              SELECT doc_id,
+                CASE CAST((doc_id - doc_id % 40) / 40 AS BIGINT) % 4
+                  WHEN 0 THEN 'https://WWW.CC-Archive.org/p/' || CAST(doc_id % 40 AS VARCHAR) || '/'
+                  WHEN 1 THEN 'https://cc-archive.org/p/' || CAST(doc_id % 40 AS VARCHAR) || '?utm_source=feed&utm_campaign=x'
+                  WHEN 2 THEN 'https://cc-archive.org:443/p/' || CAST(doc_id % 40 AS VARCHAR) || '#frag'
+                  ELSE 'https://cc-archive.org/p/' || CAST(doc_id % 40 AS VARCHAR) || '?id=' || CAST(doc_id % 40 AS VARCHAR) || '&utm_medium=email'
+                END AS url
+              FROM documents
+            )
+"""
+
+_URL_CANON_CTES = r"""
+            u1 AS (SELECT doc_id, url, regexp_replace(url, '#.*$', '') AS u FROM u0),
+            u2 AS (
+              SELECT doc_id, url, u,
+                     lower(regexp_extract(u, '^[a-zA-Z][a-zA-Z0-9+.\-]*://[^/?#]*', 0)) AS head0,
+                     substring(u, length(regexp_extract(u, '^[a-zA-Z][a-zA-Z0-9+.\-]*://[^/?#]*', 0)) + 1) AS rest
+              FROM u1
+            ),
+            u3 AS (
+              SELECT doc_id, url, u, rest,
+                CASE WHEN starts_with(head0, 'http://') AND ends_with(head0, ':80') THEN left(head0, length(head0) - 3)
+                     WHEN starts_with(head0, 'https://') AND ends_with(head0, ':443') THEN left(head0, length(head0) - 4)
+                     ELSE head0 END AS head1
+              FROM u2
+            ),
+            u4 AS (
+              SELECT doc_id, url, u, rest,
+                CASE WHEN starts_with(head1, 'http://www.') THEN 'http://' || substring(head1, 12)
+                     WHEN starts_with(head1, 'https://www.') THEN 'https://' || substring(head1, 13)
+                     ELSE head1 END AS head2
+              FROM u3
+            ),
+            u5 AS (
+              SELECT doc_id, url,
+                CASE WHEN length(head2) > 0 THEN head2 || rest ELSE u END AS r0
+              FROM u4
+            ),
+            u6 AS (
+              SELECT doc_id, url,
+                regexp_replace(
+                  regexp_replace(
+                    regexp_replace(
+                      regexp_replace(r0, '&(utm_[a-zA-Z0-9_]*|fbclid|gclid|ref)=[^&#]*', '', 'g'),
+                      '\?(utm_[a-zA-Z0-9_]*|fbclid|gclid|ref)=[^&#]*&', '?', 'g'),
+                    '\?(utm_[a-zA-Z0-9_]*|fbclid|gclid|ref)=[^&#]*$', '', 'g'),
+                  '[?&]+$', '', 'g') AS r1
+              FROM u5
+            ),
+            canon AS (
+              SELECT doc_id, url,
+                CASE WHEN instr(r1, '?') = 0 THEN regexp_replace(r1, '/+$', '') ELSE r1 END AS canon_url
+              FROM u6
+            )
+"""
+
+# full chain for the driver oracles; tests reuse _URL_CANON_CTES over
+# their own u0 battery relation (tests/test_webtext_ops.py).
+_URL_CTES = _URL_SYNTH_CTE + ",\n" + _URL_CANON_CTES
+
+
 def _ngram_ctes(src: str = "documents") -> str:
     return f"""
             sh0 AS (
@@ -1169,10 +1327,71 @@ def oracle_sql() -> dict[str, str]:
                    CAST(NULL AS BIGINT) AS doc_id
             WHERE FALSE
         """,
+        # url canonicalization: every Spark rule mirrored 1:1; the only
+        # dialect delta is DuckDB's explicit 'g' flag (Spark
+        # regexp_replace is global by default).
+        "url_canonical": f"""
+            WITH {_URL_CTES}
+            SELECT doc_id, url, canon_url FROM canon
+        """,
+        "url_dedup_groups": f"""
+            WITH {_URL_CTES}
+            SELECT canon_url, min(doc_id) AS keeper,
+                   count(*) AS n_docs
+            FROM canon GROUP BY canon_url HAVING count(*) >= 2
+        """,
+        # line_dedup over 8-word re-chunked lines: DuckDB zips the
+        # parallel unnests (line, index) the way Spark posexplode does.
+        "line_dedup_docs": """
+            WITH w AS (
+              SELECT doc_id,
+                     string_split(replace(coalesce(text, ''), chr(10), ' '), ' ') AS words
+              FROM documents
+            ),
+            c AS (
+              SELECT doc_id, words,
+                     unnest(range(0, CAST(ceil(len(words) / 8.0) AS BIGINT))) AS ci
+              FROM w
+            ),
+            l AS (
+              SELECT doc_id, ci AS pos,
+                     array_to_string(words[(ci*8 + 1):(ci*8 + 8)], ' ') AS line
+              FROM c
+            ),
+            nd AS (SELECT doc_id, count(*) AS n_lines FROM l GROUP BY doc_id),
+            dfx AS (
+              SELECT line, count(DISTINCT doc_id) AS line_df
+              FROM l GROUP BY line
+            ),
+            kept AS (
+              SELECT l.doc_id, l.pos, l.line
+              FROM l JOIN dfx USING (line) WHERE dfx.line_df < 2
+            ),
+            agg AS (
+              SELECT doc_id, count(*) AS n_kept,
+                     string_agg(line, chr(10) ORDER BY pos) AS cleaned_text
+              FROM kept GROUP BY doc_id
+            )
+            SELECT nd.doc_id, nd.n_lines,
+                   coalesce(agg.n_kept, 0) AS n_kept,
+                   coalesce(agg.cleaned_text, '') AS cleaned_text
+            FROM nd LEFT JOIN agg USING (doc_id)
+        """,
+        "incremental_new_docs": """
+            SELECT d.doc_id FROM documents d
+            WHERE NOT EXISTS (
+              SELECT 1 FROM documents r
+              WHERE r.doc_id % 2 = 0
+                AND coalesce(r.text, '') = coalesce(d.text, '')
+            )
+        """,
+        "bloom_subset_gate": """
+            SELECT CAST(NULL AS BIGINT) AS violating_id WHERE FALSE
+        """,
         # dup_pairs_smh / dup_clusters_smh / embedding_lsh_candidates /
         # simhash_pairs / streaming_neardup_candidates /
-        # dedup_cascade_smh: sketch/hash/state decisions not
-        # expressible in ANSI SQL -> rows-only
+        # dedup_cascade_smh / incremental_new_docs_bloom: sketch/hash/
+        # state decisions not expressible in ANSI SQL -> rows-only
         # (their derived SQL-checkable gates are above).
     }
 

@@ -21,6 +21,20 @@ from .sampling import (
     stratified_sample,
 )
 from .cascade import cascade_summary, dedup_cascade
+from .urltools import (
+    synthetic_urls,
+    url_dedup_groups,
+    with_canonical_url,
+)
+from .linededup import line_dedup, rechunk_lines
+from .bloom import (
+    bloom_bitmap,
+    bloom_might_contain,
+    bloom_params,
+    bloom_subset_gate,
+    dedup_against_reference,
+    with_bloom_verdict,
+)
 from .repetition import boilerplate_ngrams, word_repetition_scores
 from .events_analytics import (
     asof_join,
@@ -75,4 +89,15 @@ __all__ = [
     "media_thumbnails",
     "frame_sample",
     "synthetic_media",
+    "with_canonical_url",
+    "url_dedup_groups",
+    "synthetic_urls",
+    "line_dedup",
+    "rechunk_lines",
+    "bloom_params",
+    "bloom_bitmap",
+    "bloom_might_contain",
+    "dedup_against_reference",
+    "bloom_subset_gate",
+    "with_bloom_verdict",
 ]
