@@ -60,6 +60,9 @@ def main() -> None:
         "embedding_ivf_topk (ANN scale path)": "embedding_ivf_topk",
         "duplicated_spans (suffix-array-substring family)": "duplicated_spans",
         "embedding_lsh_candidates (bucket-capped candidate join)": "embedding_lsh_candidates",
+        "url_dedup_groups (tier-0 URL canonicalization + re-fetch groups)": "url_dedup_groups",
+        "line_dedup_docs (CCNet-style line-frequency boilerplate removal)": "line_dedup_docs",
+        "incremental_new_docs_bloom (distributed Bloom reference dedup)": "incremental_new_docs_bloom",
     }
     notes = {
         "dup_pairs_smh": (
@@ -105,6 +108,25 @@ def main() -> None:
             "back (partial aggregation, no single-task window, flood rows "
             "never shuffle); the all-pairs self-join touches only under-cap "
             "buckets."
+        ),
+        "url_dedup_groups": (
+            "Want: zero Python nodes (the whole rule chain is codegen "
+            "expressions); exactly ONE exchange — the groupBy on the "
+            "canonical key (partial aggregation below it); ReadSchema "
+            "pruned to doc_id+source-free derivation columns."
+        ),
+        "line_dedup_docs": (
+            "Want: zero Python nodes; the line-df shuffle carries only "
+            "(xxhash64, md5, doc_id) — never the line text; the flooded-set "
+            "anti-join is a BROADCAST join (AQE), so the text payload's "
+            "only exchange is the final reassembly groupBy on doc_id."
+        ),
+        "incremental_new_docs_bloom": (
+            "Want: NO exchange keyed on doc_id anywhere (probe corpus "
+            "never re-partitioned); k broadcast hash joins against Scan "
+            "ExistingRDD bitmap sides (the bitmap job ran once, eagerly, "
+            "bounded by the 2^27 n_bits gate); zero aggregates in the "
+            "probe plan."
         ),
     }
 
