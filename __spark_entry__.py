@@ -628,6 +628,17 @@ def _q_incremental_new_docs_bloom(spark: SparkSession, sf_dir: str) -> DataFrame
     return dedup_against_reference(new, ref, method="bloom").select("doc_id")
 
 
+def _q_dedup_cascade_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the FULL industrial pipeline shape: URL tier (canonical-URL
+    # groups) -> exact tier (over URL keepers) -> ngram near-dup tier
+    # (over exact keepers); per-doc verdicts with <= 3-hop final-keeper
+    # chains resolved by two fixed chase joins (functions/cascade.py).
+    from cuda_selection_criteria_spark.functions import dedup_cascade
+    from cuda_selection_criteria_spark.functions.urltools import synthetic_urls
+
+    return dedup_cascade(synthetic_urls(_docs(spark, sf_dir)), url_col="url")
+
+
 def _q_bloom_subset_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # containment contract (expected EMPTY): bloom-kept ⊆ exact-kept —
     # a violation is a Bloom false negative, which cannot exist.
@@ -698,6 +709,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_new_docs": _q_incremental_new_docs,
         "incremental_new_docs_bloom": _q_incremental_new_docs_bloom,
         "bloom_subset_gate": _q_bloom_subset_gate,
+        "dedup_cascade_url": _q_dedup_cascade_url,
     }
 
 
@@ -1387,6 +1399,76 @@ def oracle_sql() -> dict[str, str]:
         """,
         "bloom_subset_gate": """
             SELECT CAST(NULL AS BIGINT) AS violating_id WHERE FALSE
+        """,
+        # full url -> exact -> ngram cascade: tier-0 canonical-URL
+        # grouping prunes before the text tiers; final keeper resolved
+        # by the exact-chase then ngram-chase (<= 3-hop chains).
+        "dedup_cascade_url": f"""
+            WITH RECURSIVE {_URL_CTES},
+            ukeep AS (
+              SELECT doc_id,
+                     min(doc_id) OVER (PARTITION BY canon_url) AS u_keeper
+              FROM canon
+            ),
+            usurv AS (
+              SELECT d.* FROM documents d
+              JOIN ukeep ON d.doc_id = ukeep.doc_id
+              WHERE ukeep.doc_id = ukeep.u_keeper
+            ),
+            ur AS (SELECT doc_id, u_keeper FROM ukeep WHERE doc_id != u_keeper),
+            ex AS (
+              SELECT doc_id,
+                     min(doc_id) OVER (PARTITION BY text) AS exact_keeper
+              FROM usurv
+            ),
+            surv AS (
+              SELECT d.* FROM usurv d
+              JOIN ex ON d.doc_id = ex.doc_id
+              WHERE ex.doc_id = ex.exact_keeper
+            ),
+            {_ngram_ctes("surv")},
+            sym AS (
+              SELECT doc_a AS a, doc_b AS b FROM njp
+              UNION ALL
+              SELECT doc_b AS a, doc_a AS b FROM njp
+            ),
+            reach(a, b) AS (
+              SELECT a, b FROM sym
+              UNION
+              SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+              WHERE s.b != r.a
+            ),
+            ngrm AS (
+              SELECT a AS doc_id, CAST(least(a, min(b)) AS BIGINT) AS cl
+              FROM reach GROUP BY a
+            ),
+            nr AS (SELECT doc_id, cl FROM ngrm WHERE doc_id != cl),
+            verdict AS (
+              SELECT ex.doc_id,
+                     CASE WHEN ex.doc_id != ex.exact_keeper THEN 'exact'
+                          WHEN nr.doc_id IS NOT NULL THEN 'ngram'
+                          ELSE 'none' END AS removed_by,
+                     CASE WHEN ex.doc_id != ex.exact_keeper
+                               THEN ex.exact_keeper
+                          WHEN nr.doc_id IS NOT NULL THEN nr.cl
+                          ELSE ex.doc_id END AS keeper_id
+              FROM ex LEFT JOIN nr ON ex.doc_id = nr.doc_id
+              UNION ALL
+              SELECT ur.doc_id, 'url' AS removed_by, ur.u_keeper AS keeper_id
+              FROM ur
+            ),
+            chased AS (
+              SELECT v.doc_id, v.removed_by, v.keeper_id,
+                     coalesce(e2.exact_keeper, v.keeper_id) AS keeper_mid
+              FROM verdict v
+              LEFT JOIN (
+                SELECT doc_id, exact_keeper FROM ex
+                WHERE doc_id != exact_keeper
+              ) e2 ON v.keeper_id = e2.doc_id
+            )
+            SELECT c.doc_id, c.removed_by, c.keeper_id,
+                   coalesce(nr2.cl, c.keeper_mid) AS final_keeper_id
+            FROM chased c LEFT JOIN nr nr2 ON c.keeper_mid = nr2.doc_id
         """,
         # dup_pairs_smh / dup_clusters_smh / embedding_lsh_candidates /
         # simhash_pairs / streaming_neardup_candidates /

@@ -53,6 +53,7 @@ def dedup_cascade(
     key: str = "gram",
     tier2: str = "ngram",
     smh_config=None,
+    url_col: str | None = None,
 ) -> DataFrame:
     """Per-document cascade verdicts
     (doc_id, removed_by, keeper_id, final_keeper_id).
@@ -63,9 +64,46 @@ def dedup_cascade(
     (``pipeline.dedup_pipeline`` with ``smh_config``), the tier a
     10^12-doc deployment actually runs; its verdicts carry
     ``removed_by='smh'``. Both tiers share the survivor semantics and
-    verdict assembly, so swapping them never changes the contract."""
+    verdict assembly, so swapping them never changes the contract.
+
+    ``url_col`` enables tier 0 — URL-level dedup BEFORE any text is
+    hashed: documents are grouped by canonical URL
+    (``urltools.with_canonical_url``), keeper = min ``doc_id`` per
+    group, and only URL keepers flow into the exact tier. Those
+    verdicts carry ``removed_by='url'``. Chains then have length <= 3
+    (url keeper exact-removed, whose exact keeper is tier2-removed) —
+    a URL keeper is by construction a tier-0 survivor and an exact
+    keeper a tier-1 survivor, so final-keeper resolution is two fixed
+    chase joins (exact map, then tier-2 map), never an iteration.
+    """
     if tier2 not in ("ngram", "smh"):
         raise ValueError(f"tier2 must be 'ngram' or 'smh', got {tier2!r}")
+    if url_col is not None:
+        from .urltools import with_canonical_url
+
+        canon = with_canonical_url(documents, url_col).select(
+            "doc_id", "canon_url"
+        )
+        ug = canon.groupBy("canon_url").agg(
+            F.min("doc_id").alias("_u_keeper")
+        ).withColumnRenamed("canon_url", "_g_url")
+        # eqNullSafe: NULL urls form ONE group (window/PARTITION BY
+        # semantics, like the NULL-text sentinel below) — a null-unsafe
+        # equi-join would silently exempt every NULL-url doc from
+        # tier 0.
+        url_removed = (
+            canon.join(
+                ug, F.col("canon_url").eqNullSafe(F.col("_g_url"))
+            )
+            .where(F.col("doc_id") != F.col("_u_keeper"))
+            .select("doc_id", "_u_keeper")
+            .persist()  # feeds the survivor anti-join and the verdict union
+        )
+        documents = documents.join(
+            url_removed.select("doc_id"), "doc_id", "left_anti"
+        )
+    else:
+        url_removed = None
     keyed = documents.select(
         "doc_id",
         # NULL text must form its own exact group (the oracle's
@@ -117,15 +155,49 @@ def dedup_cascade(
         .otherwise(F.col("doc_id"))
         .alias("keeper_id"),
     )
-    # resolve the single possible hop: keeper_id itself ngram-removed
+    verdict = verdict.withColumn("keeper_mid", F.col("keeper_id"))
+    if url_removed is not None:
+        # tier-0 verdicts join the assembly: a url-removed doc's keeper
+        # is the url-group minimum (a tier-0 survivor). Hop 1 (that
+        # keeper itself exact-removed) can only apply to THESE rows —
+        # exact/tier2/none keepers are never exact-removed — so the
+        # chase join runs over the url-removed subset only, not the
+        # whole corpus.
+        chase_exact = exact.where(
+            F.col("doc_id") != F.col("_exact_keeper")
+        ).select(
+            F.col("doc_id").alias("keeper_id"),
+            F.col("_exact_keeper").alias("_k1"),
+        )
+        url_verdict = (
+            url_removed.select(
+                "doc_id",
+                F.lit("url").alias("removed_by"),
+                F.col("_u_keeper").alias("keeper_id"),
+            )
+            .join(chase_exact, "keeper_id", "left")
+            .select(
+                "doc_id",
+                "removed_by",
+                "keeper_id",
+                F.coalesce(F.col("_k1"), F.col("keeper_id")).alias(
+                    "keeper_mid"
+                ),
+            )
+        )
+        verdict = verdict.select(
+            "doc_id", "removed_by", "keeper_id", "keeper_mid"
+        ).unionByName(url_verdict)
+    # hop 2: the (possibly exact-chased) keeper itself tier2-removed; a
+    # component-minimum keeper is never removed, so this terminates
     chase = ngram_removed.select(
-        F.col("doc_id").alias("keeper_id"), F.col("_ng_keeper").alias("_k2")
+        F.col("doc_id").alias("keeper_mid"), F.col("_ng_keeper").alias("_k2")
     )
-    return verdict.join(chase, "keeper_id", "left").select(
+    return verdict.join(chase, "keeper_mid", "left").select(
         "doc_id",
         "removed_by",
         "keeper_id",
-        F.coalesce(F.col("_k2"), F.col("keeper_id")).alias("final_keeper_id"),
+        F.coalesce(F.col("_k2"), F.col("keeper_mid")).alias("final_keeper_id"),
     )
 
 
@@ -137,12 +209,16 @@ def cascade_summary(
     key: str = "gram",
     tier2: str = "ngram",
     smh_config=None,
+    url_col: str | None = None,
 ) -> DataFrame:
     """(removed_by, n_docs, n_keepers): the per-tier removal metric a
     pipeline run logs — how many docs each tier cut and how many
-    distinct keepers absorbed them."""
+    distinct keepers absorbed them. ``url_col`` enables the tier-0
+    'url' row (see ``dedup_cascade``)."""
     return (
-        dedup_cascade(documents, k, min_jaccard, max_df, key, tier2, smh_config)
+        dedup_cascade(
+            documents, k, min_jaccard, max_df, key, tier2, smh_config, url_col
+        )
         .groupBy("removed_by")
         .agg(
             F.count("*").alias("n_docs"),

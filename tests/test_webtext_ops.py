@@ -253,6 +253,69 @@ def test_bloom_broadcast_path_nbits_bound(spark):
         dedup_against_reference(docs, ref, method="bloom", n_bits=1 << 28)
 
 
+def test_cascade_url_tier_three_hop_chain(spark):
+    """url -> exact -> ngram chain: a url-removed doc whose url keeper
+    is exact-removed, whose exact keeper is ngram-removed — the final
+    keeper must resolve through BOTH chase joins."""
+    from cuda_selection_criteria_spark.functions import dedup_cascade
+
+    y = "alpha beta gamma delta epsilon zeta"
+    z = y + " eta"  # near-dup of y (high 5-gram Jaccard), not equal
+    rows = [
+        (5, "https://c.org/p", z),
+        (10, "https://a.org/p", y),
+        (11, "https://b.org/p?utm_source=x", y),
+        (12, "https://b.org/p#frag", "totally different words here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string, text string")
+    got = {
+        r["doc_id"]: (r["removed_by"], r["keeper_id"], r["final_keeper_id"])
+        for r in dedup_cascade(df, url_col="url").collect()
+    }
+    assert set(got) == {5, 10, 11, 12}
+    assert got[5] == ("none", 5, 5)
+    # 10 survives url+exact tiers, ngram-removed into 5's component
+    assert got[10] == ("ngram", 5, 5)
+    # 11 is b.org's url keeper, exact-removed by 10 (same text)
+    assert got[11] == ("exact", 10, 5)
+    # 12 url-removed (keeper 11); final chases 11 -> 10 -> 5
+    assert got[12] == ("url", 11, 5)
+
+
+def test_cascade_url_tier_groups_null_urls(spark):
+    # NULL urls form ONE tier-0 group (window PARTITION BY semantics):
+    # a null-unsafe join would silently exempt them from url dedup
+    from cuda_selection_criteria_spark.functions import dedup_cascade
+
+    rows = [
+        (1, None, "alpha beta gamma delta"),
+        (2, None, "epsilon zeta eta theta"),
+        (3, "https://a.org/x", "iota kappa lambda mu"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string, text string")
+    got = {
+        r["doc_id"]: (r["removed_by"], r["final_keeper_id"])
+        for r in dedup_cascade(df, url_col="url").collect()
+    }
+    assert got[2] == ("url", 1)
+    assert got[1][0] == "none" and got[3][0] == "none"
+
+
+def test_cascade_url_tier_off_is_unchanged(spark):
+    # url_col=None must produce byte-identical verdicts to the
+    # pre-url-tier cascade (the hash-green driver queries rely on it)
+    from cuda_selection_criteria_spark.functions import dedup_cascade
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = dedup_cascade(docs)
+    rows = {tuple(r) for r in out.collect()}
+    assert len(rows) == docs.count()
+    # keeper closure: a final keeper is never itself a removed doc
+    finals = {r[3] for r in rows}
+    removed = {r[0] for r in rows if r[1] != "none"}
+    assert not (finals & removed)
+
+
 def test_bloom_params():
     n_bits, k = bloom_params(10_000, 1e-3)
     assert 130_000 < n_bits < 160_000  # ~14.4 bits/item at fp=1e-3
