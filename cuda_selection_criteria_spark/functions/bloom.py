@@ -36,7 +36,8 @@ scalar anyway):
    False)`` shuffles only narrow (id, word, mask) rows on ``word``.)
 
 Sizing: ``n_bits ~= -n * ln(fp) / ln(2)^2`` and ``k ~= (n_bits/n) ln 2``
-(standard Bloom calculus). At n = 10^12, fp = 1e-3 that is ~1.8 TB of
+(standard Bloom calculus — Bloom, CACM 13(7), 1970; double-hashing
+index derivation per Kirsch & Mitzenmacher, ESA 2006). At n = 10^12, fp = 1e-3 that is ~1.8 TB of
 bitmap — which is why step 2 is a table (partitionable, joinable,
 spillable) rather than a driver blob; for small references the
 broadcast join keeps the probe map-side.

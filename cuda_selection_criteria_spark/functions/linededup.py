@@ -2,7 +2,9 @@
 crosses a threshold, keep everything else in order.
 
 The standard web-corpus cleaning step between exact-dup removal and
-near-dup detection (CCNet, C4, RefinedWeb): boilerplate — nav bars,
+near-dup detection (CCNet, arXiv:1911.00359 §3.1, which dedups by
+per-line hash across shards; C4, arXiv:1910.10683, drops three-
+sentence-window repeats; RefinedWeb, arXiv:2306.01116): boilerplate — nav bars,
 cookie banners, footers — repeats VERBATIM as whole lines across many
 pages, so a line seen in >= ``min_df`` distinct documents is removed
 from every document, and the per-document remainder is reassembled in
