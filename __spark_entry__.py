@@ -639,6 +639,16 @@ def _q_dedup_cascade_url(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_cascade(synthetic_urls(_docs(spark, sf_dir)), url_col="url")
 
 
+def _q_dedup_cascade_url_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # per-tier removal rollup of the url -> exact -> ngram cascade —
+    # the run metric a pipeline logs; also pins the cascade_summary
+    # url_col passthrough end-to-end.
+    from cuda_selection_criteria_spark.functions import cascade_summary
+    from cuda_selection_criteria_spark.functions.urltools import synthetic_urls
+
+    return cascade_summary(synthetic_urls(_docs(spark, sf_dir)), url_col="url")
+
+
 def _q_bloom_subset_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # containment contract (expected EMPTY): bloom-kept ⊆ exact-kept —
     # a violation is a Bloom false negative, which cannot exist.
@@ -710,6 +720,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_new_docs_bloom": _q_incremental_new_docs_bloom,
         "bloom_subset_gate": _q_bloom_subset_gate,
         "dedup_cascade_url": _q_dedup_cascade_url,
+        "dedup_cascade_url_summary": _q_dedup_cascade_url_summary,
     }
 
 
@@ -782,6 +793,84 @@ _URL_CANON_CTES = r"""
 # full chain for the driver oracles; tests reuse _URL_CANON_CTES over
 # their own u0 battery relation (tests/test_webtext_ops.py).
 _URL_CTES = _URL_SYNTH_CTE + ",\n" + _URL_CANON_CTES
+
+
+def _url_cascade_ctes() -> str:
+    """CTE chain for the url -> exact -> ngram cascade, ending in
+    ``final(doc_id, removed_by, keeper_id, final_keeper_id)`` —
+    shared by the verdict and summary oracles. Mirrors
+    ``functions/cascade.py`` hop-for-hop: tier-0 canonical-URL window
+    grouping, exact-text window grouping over URL keepers, recursive
+    transitive closure over the n-gram edge set, then the exact-chase
+    and ngram-chase keeper resolution."""
+    return f"""{_URL_CTES},
+            ukeep AS (
+              SELECT doc_id,
+                     min(doc_id) OVER (PARTITION BY canon_url) AS u_keeper
+              FROM canon
+            ),
+            usurv AS (
+              SELECT d.* FROM documents d
+              JOIN ukeep ON d.doc_id = ukeep.doc_id
+              WHERE ukeep.doc_id = ukeep.u_keeper
+            ),
+            ur AS (SELECT doc_id, u_keeper FROM ukeep WHERE doc_id != u_keeper),
+            ex AS (
+              SELECT doc_id,
+                     min(doc_id) OVER (PARTITION BY text) AS exact_keeper
+              FROM usurv
+            ),
+            surv AS (
+              SELECT d.* FROM usurv d
+              JOIN ex ON d.doc_id = ex.doc_id
+              WHERE ex.doc_id = ex.exact_keeper
+            ),
+            {_ngram_ctes("surv")},
+            sym AS (
+              SELECT doc_a AS a, doc_b AS b FROM njp
+              UNION ALL
+              SELECT doc_b AS a, doc_a AS b FROM njp
+            ),
+            reach(a, b) AS (
+              SELECT a, b FROM sym
+              UNION
+              SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+              WHERE s.b != r.a
+            ),
+            ngrm AS (
+              SELECT a AS doc_id, CAST(least(a, min(b)) AS BIGINT) AS cl
+              FROM reach GROUP BY a
+            ),
+            nr AS (SELECT doc_id, cl FROM ngrm WHERE doc_id != cl),
+            verdict AS (
+              SELECT ex.doc_id,
+                     CASE WHEN ex.doc_id != ex.exact_keeper THEN 'exact'
+                          WHEN nr.doc_id IS NOT NULL THEN 'ngram'
+                          ELSE 'none' END AS removed_by,
+                     CASE WHEN ex.doc_id != ex.exact_keeper
+                               THEN ex.exact_keeper
+                          WHEN nr.doc_id IS NOT NULL THEN nr.cl
+                          ELSE ex.doc_id END AS keeper_id
+              FROM ex LEFT JOIN nr ON ex.doc_id = nr.doc_id
+              UNION ALL
+              SELECT ur.doc_id, 'url' AS removed_by, ur.u_keeper AS keeper_id
+              FROM ur
+            ),
+            chased AS (
+              SELECT v.doc_id, v.removed_by, v.keeper_id,
+                     coalesce(e2.exact_keeper, v.keeper_id) AS keeper_mid
+              FROM verdict v
+              LEFT JOIN (
+                SELECT doc_id, exact_keeper FROM ex
+                WHERE doc_id != exact_keeper
+              ) e2 ON v.keeper_id = e2.doc_id
+            ),
+            final AS (
+              SELECT c.doc_id, c.removed_by, c.keeper_id,
+                     coalesce(nr2.cl, c.keeper_mid) AS final_keeper_id
+              FROM chased c LEFT JOIN nr nr2 ON c.keeper_mid = nr2.doc_id
+            )
+"""
 
 
 def _ngram_ctes(src: str = "documents") -> str:
@@ -1404,71 +1493,15 @@ def oracle_sql() -> dict[str, str]:
         # grouping prunes before the text tiers; final keeper resolved
         # by the exact-chase then ngram-chase (<= 3-hop chains).
         "dedup_cascade_url": f"""
-            WITH RECURSIVE {_URL_CTES},
-            ukeep AS (
-              SELECT doc_id,
-                     min(doc_id) OVER (PARTITION BY canon_url) AS u_keeper
-              FROM canon
-            ),
-            usurv AS (
-              SELECT d.* FROM documents d
-              JOIN ukeep ON d.doc_id = ukeep.doc_id
-              WHERE ukeep.doc_id = ukeep.u_keeper
-            ),
-            ur AS (SELECT doc_id, u_keeper FROM ukeep WHERE doc_id != u_keeper),
-            ex AS (
-              SELECT doc_id,
-                     min(doc_id) OVER (PARTITION BY text) AS exact_keeper
-              FROM usurv
-            ),
-            surv AS (
-              SELECT d.* FROM usurv d
-              JOIN ex ON d.doc_id = ex.doc_id
-              WHERE ex.doc_id = ex.exact_keeper
-            ),
-            {_ngram_ctes("surv")},
-            sym AS (
-              SELECT doc_a AS a, doc_b AS b FROM njp
-              UNION ALL
-              SELECT doc_b AS a, doc_a AS b FROM njp
-            ),
-            reach(a, b) AS (
-              SELECT a, b FROM sym
-              UNION
-              SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
-              WHERE s.b != r.a
-            ),
-            ngrm AS (
-              SELECT a AS doc_id, CAST(least(a, min(b)) AS BIGINT) AS cl
-              FROM reach GROUP BY a
-            ),
-            nr AS (SELECT doc_id, cl FROM ngrm WHERE doc_id != cl),
-            verdict AS (
-              SELECT ex.doc_id,
-                     CASE WHEN ex.doc_id != ex.exact_keeper THEN 'exact'
-                          WHEN nr.doc_id IS NOT NULL THEN 'ngram'
-                          ELSE 'none' END AS removed_by,
-                     CASE WHEN ex.doc_id != ex.exact_keeper
-                               THEN ex.exact_keeper
-                          WHEN nr.doc_id IS NOT NULL THEN nr.cl
-                          ELSE ex.doc_id END AS keeper_id
-              FROM ex LEFT JOIN nr ON ex.doc_id = nr.doc_id
-              UNION ALL
-              SELECT ur.doc_id, 'url' AS removed_by, ur.u_keeper AS keeper_id
-              FROM ur
-            ),
-            chased AS (
-              SELECT v.doc_id, v.removed_by, v.keeper_id,
-                     coalesce(e2.exact_keeper, v.keeper_id) AS keeper_mid
-              FROM verdict v
-              LEFT JOIN (
-                SELECT doc_id, exact_keeper FROM ex
-                WHERE doc_id != exact_keeper
-              ) e2 ON v.keeper_id = e2.doc_id
-            )
-            SELECT c.doc_id, c.removed_by, c.keeper_id,
-                   coalesce(nr2.cl, c.keeper_mid) AS final_keeper_id
-            FROM chased c LEFT JOIN nr nr2 ON c.keeper_mid = nr2.doc_id
+            WITH RECURSIVE {_url_cascade_ctes()}
+            SELECT doc_id, removed_by, keeper_id, final_keeper_id
+            FROM final
+        """,
+        "dedup_cascade_url_summary": f"""
+            WITH RECURSIVE {_url_cascade_ctes()}
+            SELECT removed_by, count(*) AS n_docs,
+                   count(DISTINCT final_keeper_id) AS n_keepers
+            FROM final GROUP BY removed_by
         """,
         # dup_pairs_smh / dup_clusters_smh / embedding_lsh_candidates /
         # simhash_pairs / streaming_neardup_candidates /
