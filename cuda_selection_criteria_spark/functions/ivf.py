@@ -20,7 +20,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .similarity import round_half_away
+from .similarity import _spread, round_half_away
 
 
 def _train_centroids(V: np.ndarray, n_cells: int, seed: int, iters: int = 10) -> np.ndarray:
@@ -111,7 +111,10 @@ def embedding_ivf_topk(
                 }
             )
 
-    assigned = embeddings.select("vec_id", "embedding").mapInPandas(
+    # _spread: the bench-scale embeddings table is one parquet split —
+    # without the repartition the whole assignment matmul runs in a
+    # single task (similarity.py rationale)
+    assigned = _spread(embeddings.select("vec_id", "embedding")).mapInPandas(
         assign, schema="vec_id long, cell int, vec array<float>"
     )
 

@@ -37,6 +37,36 @@ def round_half_away(x: np.ndarray, digits: int) -> np.ndarray:
     return np.sign(x) * np.floor(np.abs(x) * scale + 0.5) / scale
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Repartition a (small) vector table to cluster parallelism before
+    an opaque mapInPandas pass.
+
+    The embeddings table arrives as ONE parquet split at bench scale, so
+    without this the whole O(N * N_broadcast) similarity computation of
+    a downstream mapInPandas runs in a single task on one core (guide
+    §2.6/§4: Spark cannot see inside the function to re-split it). The
+    exchange moves only (vec_id, embedding) — a few MB — and buys a
+    defaultParallelism-way speedup; inputs already split at least that
+    wide (the 100 TB case) are untouched."""
+    sc = df.sparkSession.sparkContext
+    if df.isStreaming:
+        return df
+    n_parts = df.rdd.getNumPartitions()
+    if n_parts < sc.defaultParallelism:
+        return df.repartition(sc.defaultParallelism)
+    return df
+
+
+def _round_candidate_threshold(digits: int) -> float:
+    """x can share round_half_away(x, digits) with m only if
+    m - x < 10**-digits: the rounding grid has bucket width exactly
+    10**-digits, and floor(a + 1) = floor(a) + 1 makes two points a
+    full bucket apart land in different buckets (monotonically). The
+    1e-7 relative slack absorbs float noise in the comparison; extra
+    candidates are harmless (they are rounded and re-compared)."""
+    return (10.0 ** -digits) * (1.0 + 1e-7)
+
+
 def _collect_broadcast_vectors(embeddings: DataFrame, max_rows: int):
     """Gated driver-side collect of the full vector table for the
     exact broadcast paths: drop zero norms, sort by vec_id (the stable
@@ -120,6 +150,7 @@ def embedding_knn(
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         b_ids, b_V, b_norms = bc.value
+        thr = _round_candidate_threshold(round_digits)
         for pdf in batches:
             if len(pdf) == 0:
                 continue
@@ -132,35 +163,66 @@ def embedding_knn(
             qids = pdf["vec_id"].values[ok]
             S = (q @ b_V.T) / np.outer(qn, b_norms)
             S[qids[:, None] == b_ids[None, :]] = -np.inf  # exclude self
-            Sr = round_half_away(S, round_digits)
+            # LAZY rounding: rounding is monotone, so only raw sims
+            # within one rounding bucket of the per-row raw max (k-th
+            # max for top-k) can reach the rounded max / rounded top-k
+            # (_round_candidate_threshold). Rounding just those few
+            # candidates replaces ~7 full passes over the NxN matrix
+            # with one compare pass — identical output, pinned by the
+            # lazy-vs-full parity test.
             if k == 1:
-                best = Sr.max(axis=1)
-                # b_ids are sorted ascending, so argmax of the tie mask =
-                # first tie = smallest neighbor id (no per-row Python loop)
-                out_n = b_ids[np.argmax(Sr == best[:, None], axis=1)]
+                mx = S.max(axis=1)
+                best = round_half_away(mx, round_digits)
+                rows, cols = np.nonzero(S >= (mx[:, None] - thr))
+                cand_r = round_half_away(S[rows, cols], round_digits)
+                hit = cand_r == best[rows]
+                # rows (hence cols-within-row) are emitted in ascending
+                # order by nonzero, and b_ids ascend with column index,
+                # so the FIRST hit per row = smallest neighbor id —
+                # exactly the old full-matrix argmax tie-break
+                r_hit, c_hit = rows[hit], cols[hit]
+                _, first = np.unique(r_hit, return_index=True)
+                out_n = b_ids[c_hit[first]]
                 yield pd.DataFrame({"vec_id": qids, "neighbor_id": out_n, "sim": best})
                 continue
-            # top-k: STABLE argsort of -sim keeps column (= ascending
-            # neighbor id) order within ties — (sim desc, id asc) ranks
-            # with no per-row Python
-            order = np.argsort(-Sr, axis=1, kind="stable")[:, :k]
-            sims_k = np.take_along_axis(Sr, order, axis=1)
-            ids_k = b_ids[order]
-            ranks = np.broadcast_to(np.arange(1, order.shape[1] + 1), order.shape)
-            keep = np.isfinite(sims_k).ravel()
+            # top-k: every entry of the final rounded top-k has raw sim
+            # > (k-th raw max) - bucket (the k largest raw values all
+            # round >= round(kth), so the rounded top-k boundary is >=
+            # round(kth)); rank candidates by (rounded desc, id asc)
+            kk = min(k, S.shape[1])
+            rk = np.partition(S, S.shape[1] - kk, axis=1)[:, S.shape[1] - kk]
+            rows, cols = np.nonzero(S >= (rk[:, None] - thr))
+            cand_r = round_half_away(S[rows, cols], round_digits)
+            fin = np.isfinite(cand_r)
+            rows, cols, cand_r = rows[fin], cols[fin], cand_r[fin]
+            # (row asc, sim desc, col asc): cols ascend with neighbor id
+            order = np.lexsort((cols, -cand_r, rows))
+            rows, cols, cand_r = rows[order], cols[order], cand_r[order]
+            # per-row position (0-based) without Python loops
+            starts = np.zeros(len(rows), dtype=bool)
+            starts[0:1] = True
+            if len(rows) > 1:
+                starts[1:] = rows[1:] != rows[:-1]
+            start_idx = np.flatnonzero(starts)
+            pos = np.arange(len(rows)) - np.repeat(
+                start_idx, np.diff(np.append(start_idx, len(rows)))
+            )
+            keep = pos < k
             yield pd.DataFrame(
                 {
-                    "vec_id": np.repeat(qids, order.shape[1])[keep],
-                    "neighbor_id": ids_k.ravel()[keep],
-                    "sim": sims_k.ravel()[keep],
-                    "rank": ranks.ravel()[keep].astype(np.int64),
+                    "vec_id": qids[rows[keep]],
+                    "neighbor_id": b_ids[cols[keep]],
+                    "sim": cand_r[keep],
+                    "rank": (pos[keep] + 1).astype(np.int64),
                 }
             )
 
     schema = "vec_id long, neighbor_id long, sim double" + (
         ", rank long" if k > 1 else ""
     )
-    return embeddings.select("vec_id", "embedding").mapInPandas(fn, schema=schema)
+    return _spread(embeddings.select("vec_id", "embedding")).mapInPandas(
+        fn, schema=schema
+    )
 
 
 def embedding_sim_pairs(
@@ -243,6 +305,7 @@ def embedding_sim_pairs(
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         b_ids, b_V, b_norms = bc.value
+        thr = _round_candidate_threshold(round_digits)
         for pdf in batches:
             if len(pdf) == 0:
                 continue
@@ -253,18 +316,27 @@ def embedding_sim_pairs(
                 continue
             q, qn = q[ok], qn[ok]
             qids = pdf["vec_id"].values[ok]
-            Sr = round_half_away((q @ b_V.T) / np.outer(qn, b_norms), round_digits)
-            # emit each unordered pair once: this task owns rows where
-            # its query id is the smaller one
-            mask = (Sr >= min_sim) & (qids[:, None] < b_ids[None, :])
+            S = (q @ b_V.T) / np.outer(qn, b_norms)
+            # LAZY rounding (same argument as embedding_knn): a raw sim
+            # can only round up to >= min_sim from within one rounding
+            # bucket below it, so pre-filter on raw >= min_sim - bucket
+            # and round just the survivors — the rounded >= min_sim
+            # check on those is the SAME emit decision as rounding the
+            # full matrix. Each unordered pair is owned by the task
+            # whose query id is the smaller one.
+            mask = (S >= min_sim - thr) & (qids[:, None] < b_ids[None, :])
             qi, bi = np.nonzero(mask)
             if qi.size == 0:
                 continue
+            sims_r = round_half_away(S[qi, bi], round_digits)
+            keep = sims_r >= min_sim
+            if not keep.any():
+                continue
             yield pd.DataFrame(
-                {"id_a": qids[qi], "id_b": b_ids[bi], "sim": Sr[qi, bi]}
+                {"id_a": qids[qi][keep], "id_b": b_ids[bi][keep], "sim": sims_r[keep]}
             )
 
-    return embeddings.select("vec_id", "embedding").mapInPandas(
+    return _spread(embeddings.select("vec_id", "embedding")).mapInPandas(
         fn, schema="id_a long, id_b long, sim double"
     )
 
@@ -327,7 +399,7 @@ def embedding_lsh_candidates(
                 }
             )
 
-    buckets = embeddings.select("vec_id", "embedding").mapInPandas(
+    buckets = _spread(embeddings.select("vec_id", "embedding")).mapInPandas(
         fn, schema="vec_id long, table_id int, bucket long"
     )
     if max_bucket is not None:
