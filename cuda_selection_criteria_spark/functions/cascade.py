@@ -43,6 +43,7 @@ from pyspark.sql import functions as F
 
 from ..operators.cluster import connected_components
 from .ngram import ngram_jaccard_pairs
+from .spread import spread
 
 
 def dedup_cascade(
@@ -91,20 +92,29 @@ def dedup_cascade(
         # semantics, like the NULL-text sentinel below) — a null-unsafe
         # equi-join would silently exempt every NULL-url doc from
         # tier 0.
+        # localCheckpoint(eager=False) over persist(): both materialize
+        # once for the two consumers (survivor anti-join + verdict
+        # union), but checkpoint blocks are reclaimed by the
+        # ContextCleaner when the plan is GC'd — a persist() here leaks
+        # cache blocks across repeated bench/gate invocations because
+        # the function never sees the materialized result to unpersist.
         url_removed = (
             canon.join(
                 ug, F.col("canon_url").eqNullSafe(F.col("_g_url"))
             )
             .where(F.col("doc_id") != F.col("_u_keeper"))
             .select("doc_id", "_u_keeper")
-            .persist()  # feeds the survivor anti-join and the verdict union
+            .localCheckpoint(eager=False)
         )
         documents = documents.join(
             url_removed.select("doc_id"), "doc_id", "left_anti"
         )
     else:
         url_removed = None
-    keyed = documents.select(
+    # spread: the hash computation is the heavy map stage over a
+    # possibly-single-split input (spread.py); checkpoint instead of
+    # persist for the two-consumer reuse (leak rationale above)
+    keyed = spread(documents).select(
         "doc_id",
         # NULL text must form its own exact group (the oracle's
         # PARTITION BY text groups NULLs) — hash(NULL) is NULL and a
@@ -113,12 +123,12 @@ def dedup_cascade(
         # (_h, _fp) pair can never collide with a real document's key.
         F.coalesce(F.xxhash64("text"), F.lit(0)).alias("_h"),
         F.coalesce(F.md5("text"), F.lit("<null>")).alias("_fp"),
-    ).persist()  # feeds both the group agg and the keeper join
+    ).localCheckpoint(eager=False)  # feeds both the group agg and the keeper join
     grp = keyed.groupBy("_h", "_fp").agg(F.min("doc_id").alias("_keeper"))
     exact = (
         keyed.join(grp, ["_h", "_fp"])
         .select("doc_id", F.col("_keeper").alias("_exact_keeper"))
-        .persist()  # feeds both the survivor filter and the verdict
+        .localCheckpoint(eager=False)  # feeds both the survivor filter and the verdict
     )
     survivors = documents.join(
         exact.where(F.col("doc_id") == F.col("_exact_keeper")).select("doc_id"),

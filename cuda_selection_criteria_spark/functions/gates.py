@@ -526,7 +526,10 @@ def cascade_invariant_gate(
     from pyspark.sql.window import Window
 
     docs = documents.select("doc_id", "text")
-    v = verdicts.persist()  # feeds five branches below
+    # localCheckpoint(eager=False), not persist(): blocks are reclaimed
+    # when the plan is GC'd, so repeated gate invocations don't leak
+    # cache blocks (ADVICE r5)
+    v = verdicts.localCheckpoint(eager=False)  # feeds five branches below
 
     counts = v.groupBy("doc_id").agg(F.count("*").alias("_n"))
     multi = counts.where(F.col("_n") != 1).select(

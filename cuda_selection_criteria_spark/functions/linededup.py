@@ -47,6 +47,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .spread import spread
+
 
 def rechunk_lines(
     documents: DataFrame,
@@ -85,7 +87,9 @@ def line_dedup(
     """
     # NULL text == empty text (one empty line): the cascade's round-5
     # NULL-drop bug showed exploded paths silently lose NULL-text docs.
-    docs = documents.select(
+    # spread: split + posexplode + line hashing is the heavy map stage
+    # (spread.py)
+    docs = spread(documents).select(
         id_col,
         F.split(F.coalesce(F.col(text_col), F.lit("")), delim).alias("_lines"),
     )

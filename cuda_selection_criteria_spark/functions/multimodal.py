@@ -19,6 +19,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .spread import spread
+
 MEDIA_SCHEMA = (
     "media_id long, payload binary, mime string, width int, height int, n_frames int"
 )
@@ -79,7 +81,8 @@ def media_features(
                 }
             )
 
-    src = media.select("media_id", "payload", "width", "height")
+    # spread: the per-row decode is the heavy map stage (spread.py)
+    src = spread(media.select("media_id", "payload", "width", "height"))
     return src.mapInPandas(fn, schema=FEATURE_SCHEMA)
 
 
@@ -155,7 +158,8 @@ def media_feature_sums(media: DataFrame, feat_dim: int = 16, codec: str = "fake"
                 }
             )
 
-    return media.select("media_id", "payload", "width", "height").mapInPandas(
+    # spread: the per-row decode is the heavy map stage (spread.py)
+    return spread(media.select("media_id", "payload", "width", "height")).mapInPandas(
         fn, schema="media_id long, dim int, feat_sum long"
     )
 
@@ -194,7 +198,8 @@ def media_thumbnails(media: DataFrame, max_side: int = 8, codec: str = "fake") -
                 }
             )
 
-    return media.select("media_id", "payload", "width", "height").mapInPandas(
+    # spread: the per-row decode is the heavy map stage (spread.py)
+    return spread(media.select("media_id", "payload", "width", "height")).mapInPandas(
         fn, schema=THUMB_SCHEMA
     )
 

@@ -20,6 +20,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .spread import spread
+
 
 def doc_shingles(documents: DataFrame, k: int, hashed: bool = False) -> DataFrame:
     """(doc_id, s): the distinct k-char shingle set per document.
@@ -28,9 +30,13 @@ def doc_shingles(documents: DataFrame, k: int, hashed: bool = False) -> DataFram
     so even the dedup shuffle carries 8-byte keys (the scale mode; the
     gates keep raw grams — they join shingles back to documents).
 
+    The input is spread to cluster parallelism first: the ~300x explode
+    is the expensive map stage of the whole n-gram family, and a
+    single-split input would run it on one core (spread.py).
+
     Guard: Spark's sequence(1, 0) generates a DESCENDING range, so
     short texts must produce an empty array explicitly."""
-    out = documents.select(
+    out = spread(documents).select(
         "doc_id",
         F.explode(
             F.expr(
@@ -80,8 +86,11 @@ def ngram_jaccard_pairs(
     # the shingle set feeds cnt + both sides of the self-join; without
     # an explicit materialization the explode+distinct subtree would be
     # recomputed four times (measured 5x slowdown). At warehouse scale
-    # this is a table write instead.
-    sh = sh.persist()
+    # this is a table write instead. localCheckpoint(eager=False), not
+    # persist(): checkpoint blocks are reclaimed when the plan is GC'd,
+    # so repeated bench/cascade invocations don't accumulate cache
+    # blocks the function can never unpersist (ADVICE r5).
+    sh = sh.localCheckpoint(eager=False)
     cnt = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "s")
     b = sh.select(F.col("doc_id").alias("doc_b"), "s")

@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .ngram import doc_shingles
+from .spread import spread
 
 
 def word_repetition_scores(documents: DataFrame) -> DataFrame:
@@ -36,7 +37,8 @@ def word_repetition_scores(documents: DataFrame) -> DataFrame:
     Documents with no words (empty text) report all-zero signals
     rather than dropping out.
     """
-    toks = documents.select(
+    # spread: the word explode is the heavy map stage (spread.py)
+    toks = spread(documents).select(
         "doc_id",
         F.explode(
             F.filter(F.split(F.col("text"), " "), lambda x: x != F.lit(""))

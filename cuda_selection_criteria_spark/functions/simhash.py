@@ -15,6 +15,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .spread import spread
+
 N_BLOCKS = 4  # Hamming radius 3 via pigeonhole
 
 
@@ -27,7 +29,8 @@ def simhash_docs(documents: DataFrame, id_col: str = "doc_id") -> DataFrame:
     bits reassemble into the fingerprint as column math. No Python in
     the plan at all — whole-stage codegen end to end.
     """
-    toks = documents.select(
+    # spread: the tokenize explode is the heavy map stage (spread.py)
+    toks = spread(documents).select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.split(F.col("text"), " +")).alias("tok"),
     ).select("doc_id", F.xxhash64(F.col("tok")).alias("th"))

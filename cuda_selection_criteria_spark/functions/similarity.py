@@ -37,24 +37,10 @@ def round_half_away(x: np.ndarray, digits: int) -> np.ndarray:
     return np.sign(x) * np.floor(np.abs(x) * scale + 0.5) / scale
 
 
-def _spread(df: DataFrame) -> DataFrame:
-    """Repartition a (small) vector table to cluster parallelism before
-    an opaque mapInPandas pass.
-
-    The embeddings table arrives as ONE parquet split at bench scale, so
-    without this the whole O(N * N_broadcast) similarity computation of
-    a downstream mapInPandas runs in a single task on one core (guide
-    §2.6/§4: Spark cannot see inside the function to re-split it). The
-    exchange moves only (vec_id, embedding) — a few MB — and buys a
-    defaultParallelism-way speedup; inputs already split at least that
-    wide (the 100 TB case) are untouched."""
-    sc = df.sparkSession.sparkContext
-    if df.isStreaming:
-        return df
-    n_parts = df.rdd.getNumPartitions()
-    if n_parts < sc.defaultParallelism:
-        return df.repartition(sc.defaultParallelism)
-    return df
+# repartition-to-parallelism before the opaque mapInPandas passes: the
+# embeddings table is one parquet split at bench scale, which would run
+# the whole O(N * N_broadcast) matmul in a single task (spread.py)
+from .spread import spread as _spread
 
 
 def _round_candidate_threshold(digits: int) -> float:

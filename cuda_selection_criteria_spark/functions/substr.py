@@ -38,6 +38,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from .spread import spread
+
 
 def duplicated_spans(
     documents: DataFrame,
@@ -49,7 +51,9 @@ def duplicated_spans(
     length-``min_len`` windows occurring >= ``min_count`` times
     corpus-wide. span_start is 1-based (substring semantics)."""
     L = min_len
-    grams = documents.select(
+    # spread: the ~L-per-position gram explode is the heavy map stage
+    # (spread.py)
+    grams = spread(documents).select(
         "doc_id",
         F.posexplode(
             F.expr(

@@ -11,6 +11,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .spread import spread
+
 
 def token_count_col(text: Column) -> Column:
     """Whitespace token count, engine-portable form:
@@ -33,7 +35,8 @@ def exact_dup_groups(documents: DataFrame) -> DataFrame:
     check). Output matches the group-by-text oracle.
     """
     return (
-        documents.groupBy(F.xxhash64("text").alias("_h"), F.md5("text").alias("_fp"))
+        spread(documents)
+        .groupBy(F.xxhash64("text").alias("_h"), F.md5("text").alias("_fp"))
         .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("canonical_id"))
         .where(F.col("n_docs") > 1)
         .select("canonical_id", "n_docs")
@@ -43,7 +46,7 @@ def exact_dup_groups(documents: DataFrame) -> DataFrame:
 def token_stats(documents: DataFrame) -> DataFrame:
     """Per-language corpus statistics (integer-exact)."""
     toks = token_count_col(F.col("text"))
-    return documents.groupBy("lang").agg(
+    return spread(documents).groupBy("lang").agg(
         F.count("*").alias("n_docs"),
         F.sum(toks).alias("total_tokens"),
         F.sum(F.length("text")).alias("total_chars"),
@@ -65,7 +68,7 @@ def source_profile(documents: DataFrame) -> DataFrame:
 
 def doc_fingerprints(documents: DataFrame) -> DataFrame:
     """Deterministic document fingerprint (md5 hex of text)."""
-    return documents.select("doc_id", F.md5(F.col("text")).alias("fp"))
+    return spread(documents).select("doc_id", F.md5(F.col("text")).alias("fp"))
 
 
 _STOPWORDS = ("the", "and", "of", "to", "a", "in", "is", "it", "for", "on")
@@ -102,7 +105,7 @@ def token_counts_bpe(documents: DataFrame) -> DataFrame:
     portable so the DuckDB oracle matches exactly.
     """
     text = F.col("text")
-    return documents.select(
+    return spread(documents).select(
         "doc_id",
         token_count_col(text).alias("ws_tokens"),
         F.size(F.expr(f"regexp_extract_all(text, '{_BPE_ISH}', 0)")).cast("long").alias(
@@ -135,7 +138,7 @@ def lang_predict(documents: DataFrame) -> DataFrame:
         .when(de > 0, F.lit("de"))
         .otherwise(F.lit("und"))
     )
-    return documents.select("doc_id", pred.alias("lang_pred"))
+    return spread(documents).select("doc_id", pred.alias("lang_pred"))
 
 
 def quality_scores(documents: DataFrame) -> DataFrame:
@@ -150,7 +153,7 @@ def quality_scores(documents: DataFrame) -> DataFrame:
     padded = F.concat(F.lit(" "), F.lower(text), F.lit(" "))
     stop_hits = F.floor(_hits_expr(padded, _STOPWORDS)).cast("long")
     space_n = length - F.length(F.replace(text, F.lit(" "), F.lit("")))
-    return documents.select(
+    return spread(documents).select(
         "doc_id",
         length.alias("n_chars_m"),
         toks.alias("n_tokens"),
@@ -181,7 +184,7 @@ def lang_id_scores(documents: DataFrame) -> DataFrame:
         stop_hits = hits if stop_hits is None else stop_hits + hits
     # floor() before the integer cast: Spark casts by truncation while
     # DuckDB casts by rounding — floor makes both engines agree.
-    return documents.select(
+    return spread(documents).select(
         "doc_id",
         toks.alias("n_tokens"),
         F.floor(stop_hits).cast("long").alias("stopword_hits"),

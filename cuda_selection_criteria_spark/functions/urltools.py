@@ -77,7 +77,10 @@ def with_canonical_url(
     OOMs whole-stage codegen when composed (e.g. canonicalizing an
     already-canonical column to prove idempotence).
     """
-    d = df.withColumn("_u", F.regexp_replace(F.col(url_col), r"#.*$", ""))
+    from .spread import spread
+
+    # spread: the staged regex chain is the heavy map stage (spread.py)
+    d = spread(df).withColumn("_u", F.regexp_replace(F.col(url_col), r"#.*$", ""))
     d = d.withColumn(
         "_head0", F.lower(F.regexp_extract(F.col("_u"), _HEAD_RE, 0))
     )

@@ -21,6 +21,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .spread import spread
+
 from ..sketchlib.hashes import shingle_hashes
 
 
@@ -61,7 +63,8 @@ def winnow_fingerprints(
                 {"doc_id": np.concatenate(ids), "fp": np.concatenate(fps)}
             )
 
-    return documents.select(F.col(id_col).alias("doc_id"), "text").mapInPandas(
+    # spread: the per-doc winnow kernel is the heavy map stage (spread.py)
+    return spread(documents.select(F.col(id_col).alias("doc_id"), "text")).mapInPandas(
         fn, schema="doc_id long, fp long"
     )
 
