@@ -385,7 +385,12 @@ def embedding_lsh_candidates(
                 }
             )
 
-    buckets = _spread(embeddings.select("vec_id", "embedding")).mapInPandas(
+    # no _spread here: the hyperplane pass is a tiny matmul (N x dim x
+    # planes), so the repartition exchange costs more than the
+    # parallelism buys — measured 0.98s -> 1.45s WITH the spread at a
+    # 20k-vector scale; the join/dedup stages below dominate and
+    # parallelize via their own exchanges.
+    buckets = embeddings.select("vec_id", "embedding").mapInPandas(
         fn, schema="vec_id long, table_id int, bucket long"
     )
     if max_bucket is not None:

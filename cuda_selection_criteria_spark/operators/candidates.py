@@ -51,8 +51,9 @@ def cb_bucket_pairs(
     and a straddling pair whose lower-bucket doc has the larger url_id
     only survives in the (a=higher-bucket, b=lower-bucket) orientation.
     The exact CB predicate re-filters after the join; dropDuplicates
-    collapses the same-bucket double match. Carries hll_aux blobs when
-    the criterion needs them.
+    collapses the same-bucket double match. When the criterion needs
+    hll_aux blobs they are joined back AFTER the pair dedup (late
+    payload attach — the narrow sides above explain why).
 
     Flood guard: at tau=0.9 one bucket spans only ~11% in cardinality,
     and web corpora concentrate document sizes — ~100 buckets cover
@@ -74,10 +75,9 @@ def cb_bucket_pairs(
 
     inv_log = 1.0 / math.log(1.0 / cfg.tau)
     has_aux = "hll_aux" in sketches.columns
-    cols = ["url_id", "card_i"] + (["hll_aux"] if has_aux else [])
     base = (
         sketches.where(F.col("card_i") > 0)
-        .select(*cols, F.floor(F.log(F.col("card_i").cast("double")) * F.lit(inv_log)).alias("bkt"))
+        .select("url_id", "card_i", F.floor(F.log(F.col("card_i").cast("double")) * F.lit(inv_log)).alias("bkt"))
     )
     join_key = ["bkt"]
     if salt_target is not None or max_bucket is not None:
@@ -93,17 +93,22 @@ def cb_bucket_pairs(
         over = na.where(F.col("_na") > max_bucket).select("bkt")
         base = base.join(F.broadcast(over), "bkt", "left_anti")
         na = na.where(F.col("_na") <= max_bucket)
+    # NARROW sides: the hll_aux register blobs (256 B each) do NOT ride
+    # the bucket join, the salt explode, or the dropDuplicates exchange
+    # — pairs dedup on (id, card) only and the aux payload joins back
+    # AFTER the dedup, the same late-payload shape verify_pairs uses.
+    # At 10^10 CB-surviving pairs that is TBs of avoidable shuffle
+    # payload (guide §2.3 / §8: shuffle keys and metadata, attach heavy
+    # bytes once).
     a = base.select(
         F.col("bkt"),
         F.col("url_id").alias("id_a"),
         F.col("card_i").alias("card_a"),
-        *([F.col("hll_aux").alias("aux_a")] if has_aux else []),
     )
     b = base.select(
         F.explode(F.array(F.col("bkt") - 1, F.col("bkt"), F.col("bkt") + 1)).alias("bkt"),
         F.col("url_id").alias("id_b"),
         F.col("card_i").alias("card_b"),
-        *([F.col("hll_aux").alias("aux_b")] if has_aux else []),
     )
     if salt_target is not None:
         # per-join-key load AFTER the cap: a-side sees n_k rows at key
@@ -142,7 +147,7 @@ def cb_bucket_pairs(
         )
         join_key = ["bkt", "sa", "sb"]
     tau = cfg.tau
-    return (
+    pairs = (
         a.join(b, join_key)
         .where(F.col("id_a") < F.col("id_b"))
         .where(
@@ -153,6 +158,20 @@ def cb_bucket_pairs(
         .drop(*join_key)
         .dropDuplicates(["id_a", "id_b"])
     )
+    if has_aux:
+        payload = sketches.select("url_id", "hll_aux")
+        pairs = pairs.join(
+            payload.select(
+                F.col("url_id").alias("id_a"), F.col("hll_aux").alias("aux_a")
+            ),
+            "id_a",
+        ).join(
+            payload.select(
+                F.col("url_id").alias("id_b"), F.col("hll_aux").alias("aux_b")
+            ),
+            "id_b",
+        )
+    return pairs
 
 
 def aux_criterion_filter(pairs: DataFrame, cfg: DedupConfig) -> DataFrame:
