@@ -96,14 +96,21 @@ def asof_join(
     key group (include a unique tiebreak column) so the carried value
     is deterministic.
     """
-    clash = {"_p", "_side", out_col} & set(left.columns)
-    if clash:
-        # the union-tag composition would silently clobber (or
-        # duplicate) these caller columns
-        raise ValueError(
-            f"asof_join reserves columns {sorted({'_p', '_side', out_col})}; "
-            f"left already has {sorted(clash)}"
-        )
+    # check BOTH sides: a right-side on/order_by column named _p or
+    # _side would produce duplicate columns in the tagged union and
+    # fail later with an opaque ambiguity error (ADVICE r5)
+    for side, cols in (
+        ("left", set(left.columns)),
+        ("right", set(on) | set(order_by) | {payload}),
+    ):
+        clash = {"_p", "_side", out_col} & cols
+        if clash:
+            # the union-tag composition would silently clobber (or
+            # duplicate) these caller columns
+            raise ValueError(
+                f"asof_join reserves columns {sorted({'_p', '_side', out_col})}; "
+                f"{side} already has {sorted(clash)}"
+            )
     ptype = right.schema[payload].dataType
     r = right.select(
         *on,

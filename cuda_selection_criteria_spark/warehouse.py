@@ -181,10 +181,18 @@ def sketch_with_resume(
         # (2^40 rows/part x 2^22 parts headroom at 10^12 docs). The
         # window shuffles by part_id — which the partitioned write
         # benefits from anyway (one directory per task group).
+        # orderBy(url, xxhash64(hll14)): two staged rows in one part CAN
+        # share a url (re-crawl snapshots); a url-only orderBy would
+        # make their row_number assignment nondeterministic across
+        # re-sketches, silently breaking the documented resume
+        # stability. The sketch-blob hash is a pure function of the
+        # row's content, so the full sort key is content-deterministic.
         sk = sk.withColumn(
             "url_id",
             F.shiftleft(F.col("part_id").cast("long"), 40)
-            + F.row_number().over(Window.partitionBy("part_id").orderBy("url"))
+            + F.row_number().over(
+                Window.partitionBy("part_id").orderBy("url", F.xxhash64("hll14"))
+            )
             - F.lit(1),
         )
         # Dynamic partition overwrite makes the write idempotent per
