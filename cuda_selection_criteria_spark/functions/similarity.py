@@ -74,6 +74,15 @@ def _collect_broadcast_vectors(embeddings: DataFrame, max_rows: int):
     norms = np.sqrt((V * V).sum(axis=1))
     keep = norms > 0
     ids, V, norms = ids[keep], V[keep], norms[keep]
+    # broadcast UNIT vectors: cosine becomes one matmul of normalized
+    # sides (q/|q|) @ (b/|b|).T instead of matmul + np.outer(|q|,|b|) +
+    # divide — the outer product alone materialized a fresh
+    # batch x N float64 matrix per task (100 MB at 20k vectors), the
+    # dominant first-touch cost of the stage. Float results can differ
+    # from the divide form in the last ulp; the 4-digit rounding both
+    # engines share absorbs that (oracle hash checks pin it on the
+    # driver corpora).
+    V = V / norms[:, None]
     order = np.argsort(ids, kind="stable")
     return embeddings.sparkSession.sparkContext.broadcast(
         (ids[order], V[order], norms[order])
@@ -147,7 +156,7 @@ def embedding_knn(
                 continue
             q, qn = q[ok], qn[ok]
             qids = pdf["vec_id"].values[ok]
-            S = (q @ b_V.T) / np.outer(qn, b_norms)
+            S = (q / qn[:, None]) @ b_V.T  # b_V is pre-normalized
             S[qids[:, None] == b_ids[None, :]] = -np.inf  # exclude self
             # LAZY rounding: rounding is monotone, so only raw sims
             # within one rounding bucket of the per-row raw max (k-th
@@ -175,6 +184,8 @@ def embedding_knn(
             # > (k-th raw max) - bucket (the k largest raw values all
             # round >= round(kth), so the rounded top-k boundary is >=
             # round(kth)); rank candidates by (rounded desc, id asc)
+            if S.shape[1] == 0:  # empty broadcast side: nothing to rank
+                continue
             kk = min(k, S.shape[1])
             rk = np.partition(S, S.shape[1] - kk, axis=1)[:, S.shape[1] - kk]
             rows, cols = np.nonzero(S >= (rk[:, None] - thr))
@@ -302,7 +313,7 @@ def embedding_sim_pairs(
                 continue
             q, qn = q[ok], qn[ok]
             qids = pdf["vec_id"].values[ok]
-            S = (q @ b_V.T) / np.outer(qn, b_norms)
+            S = (q / qn[:, None]) @ b_V.T  # b_V is pre-normalized
             # LAZY rounding (same argument as embedding_knn): a raw sim
             # can only round up to >= min_sim from within one rounding
             # bucket below it, so pre-filter on raw >= min_sim - bucket
