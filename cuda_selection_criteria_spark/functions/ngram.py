@@ -26,9 +26,14 @@ from .spread import spread
 def doc_shingles(documents: DataFrame, k: int, hashed: bool = False) -> DataFrame:
     """(doc_id, s): the distinct k-char shingle set per document.
 
-    ``hashed=True`` maps each shingle to xxhash64 BEFORE the distinct,
-    so even the dedup shuffle carries 8-byte keys (the scale mode; the
-    gates keep raw grams — they join shingles back to documents).
+    Dedup happens INSIDE the shingle expression (``array_distinct``
+    per document, on the xxhash64 values in hashed mode) before the
+    explode, so the output rows are unique by construction and the
+    former row-level ``.distinct()`` — a full corpus-sized Exchange in
+    every n-gram-family query — is gone (guide §2.4). ``hashed=True``
+    dedups the 8-byte hashes (same set as hashing the distinct grams,
+    the scale mode); the gates keep raw grams — they join shingles
+    back to documents.
 
     The input is spread to cluster parallelism first: the ~300x explode
     is the expensive map stage of the whole n-gram family, and a
@@ -36,20 +41,24 @@ def doc_shingles(documents: DataFrame, k: int, hashed: bool = False) -> DataFram
 
     Guard: Spark's sequence(1, 0) generates a DESCENDING range, so
     short texts must produce an empty array explicitly."""
-    out = spread(documents).select(
+    gram_arr = (
+        f"transform(sequence(1, length(text) - {k - 1}),"
+        f" i -> substring(text, i, {k}))"
+    )
+    if hashed:
+        inner, empty = f"transform({gram_arr}, s -> xxhash64(s))", "array<bigint>"
+    else:
+        inner, empty = gram_arr, "array<string>"
+    return spread(documents).select(
         "doc_id",
         F.explode(
             F.expr(
                 f"CASE WHEN length(text) >= {k} THEN "
-                f"transform(sequence(1, length(text) - {k - 1}),"
-                f" i -> substring(text, i, {k})) "
-                f"ELSE array() END"
+                f"array_distinct({inner}) "
+                f"ELSE CAST(array() AS {empty}) END"
             )
         ).alias("s"),
     )
-    if hashed:
-        out = out.select("doc_id", F.xxhash64("s").alias("s"))
-    return out.distinct()
 
 
 def ngram_jaccard_pairs(
