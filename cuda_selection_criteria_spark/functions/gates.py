@@ -509,7 +509,16 @@ def cascade_invariant_gate(
 ) -> DataFrame:
     """(kind, doc_id) violations — expected EMPTY — pinning a dedup
     cascade's verdict table (any tier-2: ngram or the non-SQL smh
-    sketch pipeline) to three exactly-checkable invariants:
+    sketch pipeline) to three exactly-checkable invariants.
+
+    Requires ``url_col=None`` verdicts: the independent exact-tier
+    check below windows over ALL documents, while a url-tier cascade
+    computes its exact tier over URL-tier survivors only — feeding
+    url-cascade verdicts here would report spurious
+    ``exact_tier_mismatch`` rows (ADVICE r5; the url cascade is pinned
+    by its own DuckDB recursive-CTE oracle instead).
+
+    Invariants:
 
     - ``missing_verdict`` / ``extra_verdict`` / ``verdict_multiplicity``:
       the cascade is a total function — every input document gets
