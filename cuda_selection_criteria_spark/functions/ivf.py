@@ -78,8 +78,9 @@ def embedding_ivf_topk(
     reduce below already merges per-block partial top-1s (max over
     blocks of block maxima == global max, same tie-break).
     """
-    sample = embeddings.select("embedding").limit(sample_n).collect()
-    Vs = np.array([np.asarray(r.embedding, dtype=np.float64) for r in sample])
+    # Arrow-path toPandas over row collect() (similarity.py rationale)
+    sample = embeddings.select("embedding").limit(sample_n).toPandas()
+    Vs = np.array([np.asarray(v, dtype=np.float64) for v in sample["embedding"]])
     norms = np.sqrt((Vs * Vs).sum(axis=1))
     Vs = Vs[norms > 0] / norms[norms > 0][:, None]
     C = _train_centroids(Vs, n_cells, seed)

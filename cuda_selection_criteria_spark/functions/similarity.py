@@ -62,13 +62,17 @@ def _collect_broadcast_vectors(embeddings: DataFrame, max_rows: int):
     exceeds ``max_rows`` (the caller picks raise vs fallback). The
     size probe is the limit(max+1) fold into this single collect — no
     separate count() job."""
-    rows = embeddings.select("vec_id", "embedding").limit(max_rows + 1).collect()
-    if len(rows) > max_rows:
+    # Arrow-path toPandas, not row-based collect(): the py4j row
+    # deserialization of N x dim float rows measured ~2.5x slower
+    # (guide §6, Arrow for driver transfers; arrow.pyspark is on in
+    # session.py)
+    pdf = embeddings.select("vec_id", "embedding").limit(max_rows + 1).toPandas()
+    if len(pdf) > max_rows:
         return None
-    ids = np.array([r.vec_id for r in rows], dtype=np.int64)
+    ids = pdf["vec_id"].to_numpy(dtype=np.int64)
     V = (
-        np.array([np.asarray(r.embedding, dtype=np.float64) for r in rows])
-        if rows
+        np.array([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+        if len(pdf)
         else np.zeros((0, 1))
     )
     norms = np.sqrt((V * V).sum(axis=1))
