@@ -11,6 +11,15 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+# spread() is applied ONLY where the per-row work measurably dominates
+# the repartition exchange when the computation actually executes
+# (quality_scores 4.07s -> 0.51s, lang_predict 1.93 -> 0.47,
+# token_counts_bpe 1.64 -> 0.55 at a 50k-doc scale, noop-sink). The
+# projection-only operators (doc_fingerprints, lang_id_scores) and the
+# trivial aggregates (exact_dup_groups 0.29 plain vs 0.60 spread,
+# token_stats) are deliberately NOT spread: a count()-shaped consumer
+# prunes the projection entirely while the exchange would still run,
+# and the hash/length work is cheaper than shuffling the text payload.
 from .spread import spread
 
 
@@ -35,8 +44,7 @@ def exact_dup_groups(documents: DataFrame) -> DataFrame:
     check). Output matches the group-by-text oracle.
     """
     return (
-        spread(documents)
-        .groupBy(F.xxhash64("text").alias("_h"), F.md5("text").alias("_fp"))
+        documents.groupBy(F.xxhash64("text").alias("_h"), F.md5("text").alias("_fp"))
         .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("canonical_id"))
         .where(F.col("n_docs") > 1)
         .select("canonical_id", "n_docs")
@@ -46,7 +54,7 @@ def exact_dup_groups(documents: DataFrame) -> DataFrame:
 def token_stats(documents: DataFrame) -> DataFrame:
     """Per-language corpus statistics (integer-exact)."""
     toks = token_count_col(F.col("text"))
-    return spread(documents).groupBy("lang").agg(
+    return documents.groupBy("lang").agg(
         F.count("*").alias("n_docs"),
         F.sum(toks).alias("total_tokens"),
         F.sum(F.length("text")).alias("total_chars"),
@@ -68,7 +76,7 @@ def source_profile(documents: DataFrame) -> DataFrame:
 
 def doc_fingerprints(documents: DataFrame) -> DataFrame:
     """Deterministic document fingerprint (md5 hex of text)."""
-    return spread(documents).select("doc_id", F.md5(F.col("text")).alias("fp"))
+    return documents.select("doc_id", F.md5(F.col("text")).alias("fp"))
 
 
 _STOPWORDS = ("the", "and", "of", "to", "a", "in", "is", "it", "for", "on")
@@ -184,7 +192,7 @@ def lang_id_scores(documents: DataFrame) -> DataFrame:
         stop_hits = hits if stop_hits is None else stop_hits + hits
     # floor() before the integer cast: Spark casts by truncation while
     # DuckDB casts by rounding — floor makes both engines agree.
-    return spread(documents).select(
+    return documents.select(
         "doc_id",
         toks.alias("n_tokens"),
         F.floor(stop_hits).cast("long").alias("stopword_hits"),
